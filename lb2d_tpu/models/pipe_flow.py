@@ -1,0 +1,323 @@
+"""Pressure-driven pipe flow — the reference's canonical verification model.
+
+Reproduces the capability set of ``dimensionless/opencl_dim.py`` (class
+``Pipe_Flow``, ``Pipe_Flow_Cylinder``), ``dimensionless/opencl_dim_D2Q9i.py``
+(incompressible He-Luo variant) and the working velocity-inlet / arbitrary
+obstacle classes from ``OLD/python.py:250-530``, as one configurable model.
+
+Step order is the notebook-verified OpenCL order (``opencl_dim.py:380-387``):
+stream -> boundary conditions -> hydro -> feq -> BGK collide. The stream +
+BC + moments + collide chain compiles to one fused XLA program; ``run(n)``
+executes entirely on-device.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.lattice import D2Q9
+from ..core.nondim import FlowUnits
+from ..ops.boundary import (
+    bounce_back_obstacle,
+    zou_he_pressure_bcs,
+    zou_he_pressure_bcs_incompressible,
+    zou_he_velocity_bcs,
+)
+from ..ops.collide import bgk
+from ..ops.equilibrium import feq_incompressible, feq_quadratic
+from ..ops.moments import hydro_compressible, hydro_incompressible
+from ..ops.stream import stream
+from .base import LBModel
+
+__all__ = [
+    "PipeFlow",
+    "PipeFlowCylinder",
+    "PipeFlowObstacles",
+    "PipeFlowVelocityInlet",
+    "disk_mask",
+]
+
+
+def disk_mask(nx: int, ny: int, cx: float, cy: float, radius: float) -> np.ndarray:
+    """Circular obstacle mask (replaces ``skimage.draw.circle`` at
+    ``opencl_dim.py:474-475``): int32 ``[ny, nx]`` with 1 inside the disk."""
+    X, Y = np.meshgrid(np.arange(nx), np.arange(ny))
+    return ((X - cx) ** 2 + (Y - cy) ** 2 <= radius**2).astype(np.int32)
+
+
+class PipeFlow(LBModel):
+    """2-D pressure-driven channel flow with Zou-He pressure inlet/outlet.
+
+    Physical-parameter constructor mirrors ``Pipe_Flow.__init__``
+    (``opencl_dim.py:64-120``): specify diameter/density/viscosity/pressure
+    gradient/length in any consistent physical units plus resolution ``N``.
+
+    Args beyond the reference's:
+      equilibrium: ``"compressible"`` (D2Q9.cl) or ``"incompressible"``
+        (D2Q9i.cl, He-Luo).
+      convention: nondimensionalization convention, ``"W"`` or ``"Re"``
+        (see :class:`lb2d_tpu.core.nondim.FlowUnits`).
+      obstacle_mask: optional ``[ny, nx]`` int/bool mask; full bounce-back is
+        applied inside it after the wall BCs (``opencl_dim.py:510-518``).
+      seed: RNG seed for the reference's 0.1% initial perturbation
+        (``opencl_dim.py:318-321``).
+    """
+
+    def __init__(self, diameter=None, rho=None, viscosity=None,
+                 pressure_grad=None, pipe_length=None, N=200,
+                 time_prefactor=1.0, equilibrium="compressible",
+                 convention="W", obstacle_mask=None, seed=0,
+                 dtype=jnp.float32):
+        self.units = FlowUnits(
+            diameter=diameter, rho=rho, viscosity=viscosity,
+            pressure_grad=pressure_grad, pipe_length=pipe_length, N=N,
+            time_prefactor=time_prefactor, convention=convention,
+            L_override=self._characteristic_length(diameter),
+        )
+        self.lattice = D2Q9
+        self.equilibrium = equilibrium
+        self.dtype = dtype
+        self.omega = self.units.omega
+
+        self.nx, self.ny = self._grid_dims()
+        self.lx, self.ly = self.nx - 1, self.ny - 1
+        self.inlet_rho, self.outlet_rho = self.units.inlet_outlet_rho(self.nx)
+
+        if obstacle_mask is None:
+            obstacle_mask = self._build_obstacle_mask()
+        self.obstacle_mask = (
+            None if obstacle_mask is None
+            else jnp.asarray(np.asarray(obstacle_mask, dtype=bool))
+        )
+
+        self.state = self._init_state(np.random.RandomState(seed))
+        super().__init__()
+
+    # --- geometry hooks (overridden by subclasses) ---------------------------
+    def _characteristic_length(self, diameter):
+        return None  # default: L = diameter (FlowUnits default)
+
+    def _grid_dims(self):
+        return self.units.grid_dims()
+
+    def _build_obstacle_mask(self):
+        return None
+
+    @property
+    def num_cells(self) -> int:
+        return self.nx * self.ny
+
+    # --- initialization (opencl_dim.py:258-327) -------------------------------
+    def _init_state(self, rng: np.random.RandomState):
+        ny, nx = self.ny, self.nx
+        # Linear density ramp inlet -> outlet along x (opencl_dim.py:279-283).
+        ramp = self.inlet_rho - np.arange(nx) * (
+            (self.inlet_rho - self.outlet_rho) / float(nx)
+        )
+        rho0 = np.broadcast_to(ramp[None, :], (ny, nx)).astype(np.float32)
+        u0 = jnp.zeros((ny, nx), self.dtype)
+        v0 = jnp.zeros((ny, nx), self.dtype)
+        rho0 = jnp.asarray(rho0, self.dtype)
+
+        feq_fn = self._feq_fn()
+        feq0 = feq_fn(rho0, u0, v0)
+        # 0.1% multiplicative Gaussian perturbation (opencl_dim.py:318-321).
+        perturb = 1.0 + 0.001 * rng.randn(self.lattice.q, ny, nx)
+        f0 = feq0 * jnp.asarray(perturb, self.dtype)
+        return f0
+
+    # --- step construction ------------------------------------------------------
+    def _feq_fn(self):
+        if self.equilibrium == "incompressible":
+            return feq_incompressible
+        return feq_quadratic
+
+    def _hydro_fn(self):
+        if self.equilibrium == "incompressible":
+            return hydro_incompressible
+        return hydro_compressible
+
+    def _bc_fn(self):
+        if self.equilibrium == "incompressible":
+            return lambda f: zou_he_pressure_bcs_incompressible(
+                f, self.inlet_rho, self.outlet_rho)
+        return lambda f: zou_he_pressure_bcs(f, self.inlet_rho, self.outlet_rho)
+
+    def make_step(self):
+        feq_fn = self._feq_fn()
+        hydro_fn = self._hydro_fn()
+        bc_fn = self._bc_fn()
+        mask = self.obstacle_mask
+        omega = jnp.asarray(self.omega, self.dtype)
+        lattice = self.lattice
+        zero_vel_in_obstacle = (
+            mask is not None and self.equilibrium == "incompressible"
+        )
+
+        def step(f):
+            f = stream(f, lattice)
+            f = bc_fn(f)
+            if mask is not None:
+                # bounceback_in_obstacle after move_bcs (opencl_dim.py:510-518)
+                f = bounce_back_obstacle(f, mask, lattice)
+            rho, u, v = hydro_fn(f)
+            if zero_vel_in_obstacle:
+                # D2Q9i driver zeroes velocity inside the mask after hydro
+                # (opencl_dim_D2Q9i.py:494-502).
+                u = jnp.where(mask, 0.0, u)
+                v = jnp.where(mask, 0.0, v)
+            feq = feq_fn(rho, u, v)
+            return bgk(f, feq, omega)
+
+        return step
+
+    # --- field access (opencl_dim.py:390-438) ------------------------------------
+    def get_fields(self) -> dict:
+        """All fields in LB units, as numpy arrays indexed ``[x, y]``
+        (``f``/``feq`` as ``[9, nx, ny]``) to match the reference layout."""
+        f = self.state
+        rho, u, v = self._hydro_fn()(f)
+        feq = self._feq_fn()(rho, u, v)
+        return {
+            "f": self._to_host_xy(f),
+            "feq": self._to_host_xy(feq),
+            "rho": self._to_host_xy(rho),
+            "u": self._to_host_xy(u),
+            "v": self._to_host_xy(v),
+        }
+
+    def get_nondim_fields(self) -> dict:
+        fields = self.get_fields()
+        scale = self.units.velocity_lb_to_nondim
+        fields["u"] = fields["u"] * scale
+        fields["v"] = fields["v"] * scale
+        return fields
+
+    def get_physical_fields(self) -> dict:
+        fields = self.get_nondim_fields()
+        scale = self.units.velocity_nondim_to_phys
+        fields["u"] = fields["u"] * scale
+        fields["v"] = fields["v"] * scale
+        return fields
+
+
+class PipeFlowCylinder(PipeFlow):
+    """Flow around a cylinder (``Pipe_Flow_Cylinder``, ``opencl_dim.py:441-518``):
+    the characteristic length becomes the cylinder radius and a disk obstacle
+    mask of radius N cells is placed at the physical cylinder center.
+    """
+
+    def __init__(self, cylinder_center=None, cylinder_radius=None, **kwargs):
+        assert cylinder_center is not None
+        assert cylinder_radius is not None
+        self.phys_cylinder_center = cylinder_center
+        self.phys_cylinder_radius = cylinder_radius
+        super().__init__(**kwargs)
+
+    def _characteristic_length(self, diameter):
+        return self.phys_cylinder_radius  # opencl_dim.py:448-456
+
+    def _grid_dims(self):
+        # ly from the pipe diameter, in units of the cylinder radius
+        # (opencl_dim.py:458-465).
+        return self.units.grid_dims(transverse_extent=self.units.diameter)
+
+    def _build_obstacle_mask(self):
+        N = self.units.N
+        L = self.units.L
+        cx = N * self.phys_cylinder_center[0] / L
+        cy = N * self.phys_cylinder_center[1] / L
+        return disk_mask(self.nx, self.ny, cx, cy, N)  # radius = N lattice cells
+
+
+class PipeFlowObstacles(PipeFlow):
+    """Pipe flow with an arbitrary user obstacle mask (the working
+    ``Pipe_Flow_Obstacles`` class from ``OLD/python.py:417-473``; also the
+    cs205_movie.ipynb TIFF-mask workload). ``obstacle_mask`` is required and
+    indexed ``[ny, nx]``."""
+
+    def __init__(self, obstacle_mask=None, **kwargs):
+        assert obstacle_mask is not None
+        assert np.sum(np.asarray(obstacle_mask)) != 0
+        super().__init__(obstacle_mask=obstacle_mask, **kwargs)
+
+
+class PipeFlowVelocityInlet(PipeFlow):
+    """Zou-He velocity inlet/outlet with y-periodic walls
+    (``Pipe_Flow_PeriodicBC_VelocityInlet``, ``OLD/python.py:318-415``, kernels
+    ``D2Q9.cl:263-374``). Uniform initial state: rho = 1, u = u_w, v = 0.
+    """
+
+    def __init__(self, u_w=0.1, **kwargs):
+        self.u_w = float(u_w)
+        self.u_e = float(u_w)
+        super().__init__(**kwargs)
+
+    def _bc_fn(self):
+        return lambda f: zou_he_velocity_bcs(f, self.u_w, self.u_e)
+
+    def _init_state(self, rng):
+        ny, nx = self.ny, self.nx
+        rho0 = jnp.ones((ny, nx), self.dtype)
+        u0 = jnp.full((ny, nx), self.u_w, self.dtype)
+        v0 = jnp.zeros((ny, nx), self.dtype)
+        feq0 = self._feq_fn()(rho0, u0, v0)
+        perturb = 1.0 + 0.001 * rng.randn(self.lattice.q, ny, nx)
+        return feq0 * jnp.asarray(perturb, self.dtype)
+
+    def make_step(self):
+        feq_fn = self._feq_fn()
+        bc_fn = self._bc_fn()
+        mask = self.obstacle_mask
+        omega = jnp.asarray(self.omega, self.dtype)
+        lattice = self.lattice
+        u_w, u_e = self.u_w, self.u_e
+
+        def hydro_velocity_inlet(f):
+            # update_hydro_PeriodicBC_VelocityInlet (D2Q9.cl:323-374):
+            # bulk moments, then rho/u overridden on the inlet/outlet columns.
+            rho, u, v = hydro_compressible(f, lattice)
+            interior = slice(1, -1)
+            s = f[:, interior, 0]
+            rho_w = (1.0 / (1.0 - u_w)) * (
+                s[0] + s[2] + s[4] + 2 * (s[3] + s[6] + s[7]))
+            s = f[:, interior, -1]
+            rho_e = (1.0 / (1.0 + u_e)) * (
+                s[0] + s[2] + s[4] + 2 * (s[1] + s[5] + s[8]))
+            rho = rho.at[interior, 0].set(rho_w).at[interior, -1].set(rho_e)
+            u = u.at[interior, 0].set(u_w).at[interior, -1].set(u_e)
+            return rho, u, v
+
+        self._hydro_override = hydro_velocity_inlet
+
+        def step(f):
+            f = stream(f, lattice)
+            f = bc_fn(f)
+            if mask is not None:
+                f = bounce_back_obstacle(f, mask, lattice)
+            rho, u, v = hydro_velocity_inlet(f)
+            if mask is not None:
+                # Obstacle variant zeroes velocity after hydro
+                # (OLD/python.py:475-530 pattern).
+                u = jnp.where(mask, 0.0, u)
+                v = jnp.where(mask, 0.0, v)
+            feq = feq_fn(rho, u, v)
+            return bgk(f, feq, omega)
+
+        return step
+
+    def get_fields(self) -> dict:
+        f = self.state
+        rho, u, v = self._hydro_override(f)
+        feq = self._feq_fn()(rho, u, v)
+        return {
+            "f": self._to_host_xy(f),
+            "feq": self._to_host_xy(feq),
+            "rho": self._to_host_xy(rho),
+            "u": self._to_host_xy(u),
+            "v": self._to_host_xy(v),
+        }
