@@ -1,0 +1,66 @@
+"""Headline benchmark: MLUPS at 4096^2 D2Q9 pressure-driven pipe flow.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline = 325 MLUPS, the reference pyOpenCL implementation on a GTX Titan
+Black (reference README.md:6-7 / python_cython_opencl_comparison.ipynb).
+"""
+
+import json
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_MLUPS = 325.0
+
+
+def main():
+    from lb2d_tpu.models.pipe_flow import PipeFlow
+    from lb2d_tpu.ops.fused import (
+        make_pipelined_pipe_step,
+        supports_pipelined,
+    )
+
+    sim = PipeFlow(diameter=1.0, rho=1.0, viscosity=0.1, pressure_grad=-0.01,
+                   pipe_length=1.0, N=4095, backend="xla")
+    ny, nx = sim.ny, sim.nx
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and supports_pipelined(ny, nx):
+        step = make_pipelined_pipe_step(
+            ny=ny, nx=nx, omega=sim.omega,
+            inlet_rho=sim.inlet_rho, outlet_rho=sim.outlet_rho)
+    else:
+        step = sim.make_step()
+
+    @partial(jax.jit, donate_argnums=0)
+    def run_n(f, n):
+        return jax.lax.fori_loop(0, n, lambda i, f: step(f), f)
+
+    def sync(f):
+        # On the axon-tunneled backend, block_until_ready can ack before
+        # remote execution finishes (donated buffers alias and report ready);
+        # a device->host readback is the only reliable completion barrier.
+        return float(jnp.sum(f[0, 0, :8]))
+
+    n_warm, n_meas = (10, 500) if on_tpu else (2, 5)
+    f = run_n(sim.state, jnp.int32(n_warm))
+    sync(f)
+    t0 = time.perf_counter()
+    f = run_n(f, jnp.int32(n_meas))
+    sync(f)
+    dt = time.perf_counter() - t0
+    assert bool(jnp.isfinite(f).all()), "non-finite state after benchmark"
+
+    mlups = ny * nx * n_meas / dt / 1e6
+    print(json.dumps({
+        "metric": "MLUPS@4096^2 D2Q9 pipe flow",
+        "value": round(mlups, 1),
+        "unit": "MLUPS",
+        "vs_baseline": round(mlups / BASELINE_MLUPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

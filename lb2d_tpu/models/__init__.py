@@ -1,3 +1,10 @@
+from .diffusion import (
+    AdvectionDiffusion,
+    Diffusion,
+    ReactionAdvectionDiffusion,
+    ReactionAdvectionDiffusionStochastic,
+    ReactionDiffusion,
+)
 from .pipe_flow import (
     PipeFlow,
     PipeFlowCylinder,
@@ -12,4 +19,9 @@ __all__ = [
     "PipeFlowObstacles",
     "PipeFlowVelocityInlet",
     "disk_mask",
+    "Diffusion",
+    "AdvectionDiffusion",
+    "ReactionDiffusion",
+    "ReactionAdvectionDiffusion",
+    "ReactionAdvectionDiffusionStochastic",
 ]

@@ -54,7 +54,7 @@ class LBModel:
         t0 = time.perf_counter() if timed else None
         self.state = self._run_compiled(self.state, jnp.int32(num_iterations))
         if timed:
-            jax.block_until_ready(self.state)
+            _force_completion(self.state)
             dt = time.perf_counter() - t0
             self.last_mlups = self.num_cells * num_iterations / dt / 1e6
         self.steps_taken += num_iterations
@@ -75,3 +75,13 @@ class LBModel:
 
 def _run_loop(step, state, n):
     return jax.lax.fori_loop(0, n, lambda i, s: step(s), state)
+
+
+def _force_completion(state):
+    """Reliable completion barrier: a tiny device->host readback.
+
+    ``jax.block_until_ready`` can return before remote execution finishes on
+    tunneled backends when outputs alias donated inputs; reading a value back
+    cannot."""
+    leaf = jax.tree_util.tree_leaves(state)[0]
+    float(jnp.sum(jnp.ravel(leaf)[:8]))

@@ -29,6 +29,7 @@ from ..ops.boundary import (
 )
 from ..ops.collide import bgk
 from ..ops.equilibrium import feq_incompressible, feq_quadratic
+from ..ops.fused import make_fused_pipe_step, supports_fused
 from ..ops.moments import hydro_compressible, hydro_incompressible
 from ..ops.stream import stream
 from .base import LBModel
@@ -71,7 +72,7 @@ class PipeFlow(LBModel):
                  pressure_grad=None, pipe_length=None, N=200,
                  time_prefactor=1.0, equilibrium="compressible",
                  convention="W", obstacle_mask=None, seed=0,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, backend="auto"):
         self.units = FlowUnits(
             diameter=diameter, rho=rho, viscosity=viscosity,
             pressure_grad=pressure_grad, pipe_length=pipe_length, N=N,
@@ -93,6 +94,19 @@ class PipeFlow(LBModel):
             None if obstacle_mask is None
             else jnp.asarray(np.asarray(obstacle_mask, dtype=bool))
         )
+
+        # Backend selection: the fused Pallas kernel does the whole step in
+        # one HBM read + one write; "auto" picks it on TPU whenever the grid
+        # tiles cleanly, with the pure-XLA path as oracle/fallback.
+        if backend == "auto":
+            backend = (
+                "fused"
+                if jax.default_backend() == "tpu"
+                and supports_fused(self.ny, self.nx)
+                and self._fused_capable()
+                else "xla"
+            )
+        self.backend = backend
 
         self.state = self._init_state(np.random.RandomState(seed))
         super().__init__()
@@ -147,7 +161,29 @@ class PipeFlow(LBModel):
                 f, self.inlet_rho, self.outlet_rho)
         return lambda f: zou_he_pressure_bcs(f, self.inlet_rho, self.outlet_rho)
 
+    def _fused_capable(self) -> bool:
+        return True  # pressure-BC family; subclasses may opt out
+
     def make_step(self):
+        if getattr(self, "backend", "xla") == "fused":
+            return self._make_fused_step()
+        return self._make_xla_step()
+
+    def _make_fused_step(self):
+        fused = make_fused_pipe_step(
+            ny=self.ny, nx=self.nx, omega=self.omega,
+            inlet_rho=self.inlet_rho, outlet_rho=self.outlet_rho,
+            equilibrium=self.equilibrium,
+            has_obstacle=self.obstacle_mask is not None,
+            lattice=self.lattice, dtype=self.dtype,
+            interpret=jax.default_backend() != "tpu",
+        )
+        if self.obstacle_mask is not None:
+            mask = self.obstacle_mask.astype(jnp.int32)
+            return lambda f: fused(f, mask)
+        return fused
+
+    def _make_xla_step(self):
         feq_fn = self._feq_fn()
         hydro_fn = self._hydro_fn()
         bc_fn = self._bc_fn()
@@ -256,6 +292,9 @@ class PipeFlowVelocityInlet(PipeFlow):
         self.u_w = float(u_w)
         self.u_e = float(u_w)
         super().__init__(**kwargs)
+
+    def _fused_capable(self) -> bool:
+        return False  # velocity-inlet BC not in the fused kernel yet
 
     def _bc_fn(self):
         return lambda f: zou_he_velocity_bcs(f, self.u_w, self.u_e)

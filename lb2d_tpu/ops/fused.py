@@ -1,0 +1,522 @@
+"""Fused Pallas collide-and-stream kernels for the flow family.
+
+The reference spends one full HBM round-trip per sub-kernel per step —
+move, copy_buffer, move_bcs, update_hydro, update_feq, collide_particles
+(``opencl_dim.py:372-387``), ~6 passes over ``f``. The kernels here perform
+the entire step in **one read + one write of f**:
+
+  stream (in-register row/lane shifts) -> Zou-He BCs (masked lane/row
+  updates) -> obstacle bounce-back -> moments -> feq -> BGK collide
+
+Two implementations share the same tile math:
+
+* :func:`make_fused_pipe_step` — "blocked": 1-D grid over row tiles,
+  auto-pipelined body blocks plus two 8-row halo-chunk DMAs per tile.
+  Simple and robust; halo chunks cost extra read bandwidth.
+* :func:`make_pipelined_pipe_step` — "pipelined": a single grid step sweeps
+  the grid in 8-row chunks through a 4-deep VMEM ring with manual
+  double-buffered DMAs in both directions. Every chunk is read exactly once
+  (the 1-row stream halo comes from the neighboring chunks already resident
+  in the ring), so HBM traffic is the 2-pass minimum.
+
+Lane (x) shifts wrap within the full row; the wrapped-in garbage lands
+exactly on the populations the Zou-He boundary rewrites, mirroring the
+equivalence argument for the XLA path (see :mod:`lb2d_tpu.ops.stream`).
+Scalars (omega, inlet/outlet rho) are compile-time constants baked into the
+kernel — fixed per model instance, keeping the VPU inner loop free of SMEM
+loads.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.lattice import Lattice, D2Q9
+
+__all__ = [
+    "make_fused_pipe_step",
+    "make_pipelined_pipe_step",
+    "supports_fused",
+    "supports_pipelined",
+]
+
+
+# ---------------------------------------------------------------------------
+# shared tile math
+# ---------------------------------------------------------------------------
+
+def _zou_he_tile(st, rowid, laneid, ny, nx, inlet_rho, outlet_rho,
+                 incompressible):
+    """Apply the full Zou-He pressure BC set (inlet/outlet columns, solid
+    walls, 4 corners; ``D2Q9.cl:173-261`` / ``D2Q9i.cl:173-261``) to a list of
+    9 streamed tile planes via masked lane/row updates. ``rowid``/``laneid``
+    are *global* cell coordinates broadcast over the tile."""
+    s = tuple(st)  # pre-BC snapshot (D2Q9.cl:187-195)
+
+    row_int = (rowid >= 1) & (rowid <= ny - 2)
+    lane_int = (laneid >= 1) & (laneid <= nx - 2)
+    lane0 = laneid == 0
+    laneN = laneid == nx - 1
+    row0 = rowid == 0
+    rowN = rowid == ny - 1
+
+    if incompressible:
+        # D2Q9i.cl:194-206
+        u_in = -s[0] - s[2] - 2 * s[3] - s[4] - 2 * s[6] - 2 * s[7] + inlet_rho
+        in1 = (1.0 / 3.0) * (3 * s[3] + 2 * u_in)
+        in5 = (1.0 / 6.0) * (-3 * s[2] + 3 * s[4] + 6 * s[7] + u_in)
+        in8 = (1.0 / 6.0) * (3 * s[2] - 3 * s[4] + 6 * s[6] + u_in)
+        u_out = s[0] + 2 * s[1] + s[2] + s[4] + 2 * s[5] + 2 * s[8] - outlet_rho
+        out3 = (1.0 / 3.0) * (3 * s[1] - 2 * u_out)
+        out6 = (1.0 / 6.0) * (-3 * s[2] + 3 * s[4] + 6 * s[8] - u_out)
+        out7 = (1.0 / 6.0) * (3 * s[2] - 3 * s[4] + 6 * s[5] - u_out)
+    else:
+        # D2Q9.cl:198-210
+        u_in = -((s[0] + s[2] + 2 * s[3] + s[4] + 2 * s[6] + 2 * s[7]
+                  - inlet_rho) / inlet_rho)
+        in1 = s[3] + (2.0 / 3.0) * inlet_rho * u_in
+        in5 = -0.5 * s[2] + 0.5 * s[4] + s[7] + (1.0 / 6.0) * u_in * inlet_rho
+        in8 = 0.5 * s[2] - 0.5 * s[4] + s[6] + (1.0 / 6.0) * u_in * inlet_rho
+        u_out = (-1.0 + (s[0] + 2 * s[1] + s[2] + s[4] + 2 * s[5]
+                         + 2 * s[8]) / outlet_rho)
+        out3 = s[1] - (2.0 / 3.0) * outlet_rho * u_out
+        out6 = -0.5 * s[2] + 0.5 * s[4] + s[8] - (1.0 / 6.0) * u_out * outlet_rho
+        out7 = 0.5 * s[2] - 0.5 * s[4] + s[5] - (1.0 / 6.0) * u_out * outlet_rho
+
+    m_in = lane0 & row_int
+    m_out = laneN & row_int
+    st[1] = jnp.where(m_in, in1, st[1])
+    st[5] = jnp.where(m_in, in5, st[5])
+    st[8] = jnp.where(m_in, in8, st[8])
+    st[3] = jnp.where(m_out, out3, st[3])
+    st[6] = jnp.where(m_out, out6, st[6])
+    st[7] = jnp.where(m_out, out7, st[7])
+
+    # walls (D2Q9.cl:212-223), identical in both variants
+    m_n = rowN & lane_int
+    m_s = row0 & lane_int
+    st[4] = jnp.where(m_n, s[2], st[4])
+    st[8] = jnp.where(m_n, 0.5 * (-s[1] + s[3] + 2 * s[6]), st[8])
+    st[7] = jnp.where(m_n, 0.5 * (s[1] - s[3] + 2 * s[5]), st[7])
+    st[2] = jnp.where(m_s, s[4], st[2])
+    st[6] = jnp.where(m_s, 0.5 * (s[1] - s[3] + 2 * s[8]), st[6])
+    st[5] = jnp.where(m_s, 0.5 * (-s[1] + s[3] + 2 * s[7]), st[5])
+
+    # corners (D2Q9.cl:228-259)
+    bi = row0 & lane0
+    ti = rowN & lane0
+    bo = row0 & laneN
+    to = rowN & laneN
+    bi_d = 0.5 * (-s[0] - 2 * s[3] - 2 * s[4] - 2 * s[7] + inlet_rho)
+    ti_d = 0.5 * (-s[0] - 2 * s[2] - 2 * s[3] - 2 * s[6] + inlet_rho)
+    bo_d = 0.5 * (-s[0] - 2 * s[1] - 2 * s[4] - 2 * s[8] + outlet_rho)
+    to_d = 0.5 * (-s[0] - 2 * s[1] - 2 * s[2] - 2 * s[5] + outlet_rho)
+    st[1] = jnp.where(bi, s[3], jnp.where(ti, s[3], st[1]))
+    st[2] = jnp.where(bi, s[4], jnp.where(bo, s[4], st[2]))
+    st[5] = jnp.where(bi, s[7], jnp.where(ti, ti_d, jnp.where(bo, bo_d, st[5])))
+    st[6] = jnp.where(bi, bi_d, jnp.where(bo, s[8], jnp.where(to, to_d, st[6])))
+    st[8] = jnp.where(bi, bi_d, jnp.where(ti, s[6], jnp.where(to, to_d, st[8])))
+    st[4] = jnp.where(ti, s[2], jnp.where(to, s[2], st[4]))
+    st[7] = jnp.where(ti, ti_d, jnp.where(bo, bo_d, jnp.where(to, s[5], st[7])))
+    st[3] = jnp.where(bo, s[1], jnp.where(to, s[1], st[3]))
+    return st
+
+
+def _moments_feq_collide(st, mask, omega, lattice, incompressible,
+                         zero_vel_in_obstacle):
+    """Bounce-back (optional) + moments + feq + BGK on streamed tile planes.
+    Returns the 9 post-collision planes."""
+    q = lattice.q
+    cxs, cys, ws = lattice.cx, lattice.cy, lattice.w
+    cs2 = lattice.cs2
+
+    if mask is not None:
+        # bounce-back reads the post-BC snapshot (D2Q9.cl:398-433)
+        s2 = tuple(st)
+        for j in range(q):
+            st[j] = jnp.where(mask, s2[lattice.opp[j]], st[j])
+
+    rho = st[0]
+    for j in range(1, q):
+        rho = rho + st[j]
+    jx = jnp.zeros_like(rho)
+    jy = jnp.zeros_like(rho)
+    for j in range(1, q):
+        if cxs[j]:
+            jx = jx + cxs[j] * st[j]
+        if cys[j]:
+            jy = jy + cys[j] * st[j]
+    if incompressible:
+        u, v = jx, jy
+    else:
+        inv = 1.0 / rho
+        u, v = jx * inv, jy * inv
+    if mask is not None and zero_vel_in_obstacle:
+        # D2Q9i driver zeroes velocity inside the mask (opencl_dim_D2Q9i.py:494-502)
+        u = jnp.where(mask, 0.0, u)
+        v = jnp.where(mask, 0.0, v)
+
+    usq = u * u + v * v
+    out = []
+    for j in range(q):
+        if cxs[j] or cys[j]:
+            cu = cxs[j] * u + cys[j] * v
+            quad = cu / cs2 + (cu * cu) / (2.0 * cs2 * cs2) - usq / (2.0 * cs2)
+        else:
+            quad = -usq / (2.0 * cs2)
+        feq_j = ws[j] * (rho + quad) if incompressible else ws[j] * rho * (1.0 + quad)
+        out.append(st[j] * (1.0 - omega) + omega * feq_j)
+    return out
+
+
+def _lane_roll(arr, shift, nx):
+    if shift:
+        return pltpu.roll(arr, shift % nx, axis=1)
+    return arr
+
+
+# ---------------------------------------------------------------------------
+# blocked kernel
+# ---------------------------------------------------------------------------
+
+def supports_fused(ny: int, nx: int) -> bool:
+    return _pick_tile(ny, nx) is not None
+
+
+def _pick_tile(ny: int, nx: int) -> int | None:
+    """Row-tile height T for the blocked kernel: sublane blocks must be
+    8-divisible or equal to the full dim; HBM DMA row-slices 8-aligned
+    (ny >= 8). VMEM: double-buffered body+out blocks plus temporaries."""
+    if ny < 8 or nx % 128 != 0:
+        # HBM DMA slices must be (8,128)-tile aligned; unaligned grids use
+        # the XLA path.
+        return None
+    vmem_budget = 10 * 1024 * 1024
+
+    def cost(t):
+        return (4 * 9 + 12) * t * nx * 4 + 9 * 16 * nx * 4
+
+    if cost(ny) < vmem_budget:
+        return ny  # single tile, any ny >= 8
+    for t in (32, 16, 8):
+        if ny % t == 0 and cost(t) < vmem_budget:
+            return t
+    return None
+
+
+def make_fused_pipe_step(
+    *,
+    ny: int,
+    nx: int,
+    omega: float,
+    inlet_rho: float,
+    outlet_rho: float,
+    equilibrium: str = "compressible",
+    has_obstacle: bool = False,
+    lattice: Lattice = D2Q9,
+    dtype=jnp.float32,
+    interpret: bool = False,
+):
+    """Build ``step(f [, mask]) -> f`` as a blocked fused Pallas kernel.
+
+    Exactly reproduces the XLA-path step of
+    :class:`lb2d_tpu.models.pipe_flow.PipeFlow` (stream -> pressure BCs ->
+    [bounce-back] -> hydro -> feq -> collide).
+    """
+    T = _pick_tile(ny, nx)
+    if T is None:
+        raise ValueError(f"no fused tiling for grid {ny}x{nx}")
+    n_tiles = ny // T
+    q = lattice.q
+    incompressible = equilibrium == "incompressible"
+    w_inlet = np.asarray(inlet_rho, dtype)
+    w_outlet = np.asarray(outlet_rho, dtype)
+    w_omega = np.asarray(omega, dtype)
+
+    def kernel(*refs):
+        if has_obstacle:
+            f_hbm, body, mask_blk, out = refs[:4]
+            scratch, sem = refs[4:]
+        else:
+            f_hbm, body, out = refs[:3]
+            scratch, sem = refs[3:]
+
+        i = pl.program_id(0)
+        y0 = i * T
+        # HBM row slices must be 8-aligned chunks (Mosaic (8,128) tiling):
+        # fetch the 8-row chunks containing the halo rows. At domain edges the
+        # clamped chunk holds wrong (non-wrapped) rows — harmless, since the
+        # populations streamed in from outside the domain are exactly the ones
+        # the Zou-He BC rewrites.
+        top_start = pl.multiple_of(jnp.maximum(y0 - 8, 0), 8)
+        bot_start = pl.multiple_of(
+            jnp.minimum(y0 + T, ((ny - 8) // 8) * 8), 8)
+
+        ctop = pltpu.make_async_copy(
+            f_hbm.at[:, pl.ds(top_start, 8), :], scratch.at[:, 0:8, :], sem.at[0])
+        cbot = pltpu.make_async_copy(
+            f_hbm.at[:, pl.ds(bot_start, 8), :], scratch.at[:, 8:16, :], sem.at[1])
+        ctop.start()
+        cbot.start()
+        ctop.wait()
+        cbot.wait()
+
+        st = []
+        for j in range(q):
+            cxj, cyj = lattice.cx[j], lattice.cy[j]
+            if cyj == 1:
+                rows = jnp.concatenate(
+                    [scratch[j, 7:8, :], body[j, 0:T - 1, :]], axis=0)
+            elif cyj == -1:
+                rows = jnp.concatenate(
+                    [body[j, 1:T, :], scratch[j, 8:9, :]], axis=0)
+            else:
+                rows = body[j, :, :]
+            st.append(_lane_roll(rows, cxj, nx))
+
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (T, nx), 0) + y0
+        laneid = jax.lax.broadcasted_iota(jnp.int32, (T, nx), 1)
+        st = _zou_he_tile(st, rowid, laneid, ny, nx, w_inlet, w_outlet,
+                          incompressible)
+        mask = (mask_blk[:, :] != 0) if has_obstacle else None
+        res = _moments_feq_collide(st, mask, w_omega, lattice, incompressible,
+                                   zero_vel_in_obstacle=incompressible)
+        for j in range(q):
+            out[j, :, :] = res[j]
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),  # halo source (HBM)
+        pl.BlockSpec((q, T, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+    ]
+    if has_obstacle:
+        in_specs.append(
+            pl.BlockSpec((T, nx), lambda i: (i, 0), memory_space=pltpu.VMEM))
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((q, ny, nx), dtype),
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((q, T, nx), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((q, 16, nx), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )
+
+    if has_obstacle:
+        def step(f, mask):
+            return call(f, f, mask)
+    else:
+        def step(f):
+            return call(f, f)
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# pipelined single-sweep kernel
+# ---------------------------------------------------------------------------
+
+_NSLOTS = 4      # input ring depth
+_NOUT = 2        # output ring depth
+_VMEM_BUDGET = 96 * 1024 * 1024  # v5e VMEM is 128 MiB; leave headroom
+
+
+def _pick_chunk(ny: int, nx: int) -> int | None:
+    """Chunk height for the pipelined sweep: multiples of the 8-row HBM
+    tiling, big enough to amortize per-chunk DMA/loop overhead, small enough
+    that the VMEM rings + temporaries fit."""
+    if nx % 128 != 0:
+        return None
+    for ch in (64, 32, 16, 8):
+        if ny % ch or ny // ch < _NSLOTS:
+            continue
+        ring = (_NSLOTS + _NOUT) * 9 * ch * nx * 4 + 16 * ch * nx * 4
+        if ring < _VMEM_BUDGET:
+            return ch
+    return None
+
+
+def supports_pipelined(ny: int, nx: int) -> bool:
+    """ny must split into >= 4 aligned 8-row chunks; VMEM rings must fit."""
+    return _pick_chunk(ny, nx) is not None
+
+
+def make_pipelined_pipe_step(
+    *,
+    ny: int,
+    nx: int,
+    omega: float,
+    inlet_rho: float,
+    outlet_rho: float,
+    equilibrium: str = "compressible",
+    has_obstacle: bool = False,
+    lattice: Lattice = D2Q9,
+    dtype=jnp.float32,
+    interpret: bool = False,
+    chunk: int | None = None,
+):
+    """Build ``step(f [, mask]) -> f`` as a single-sweep pipelined kernel.
+
+    One grid step walks the grid in 8-row chunks through a 4-slot VMEM ring:
+    chunk ``c``'s compute uses the last row of chunk ``c-1`` and first row of
+    chunk ``c+1`` as stream halos — both already resident — so every chunk is
+    DMA'd from HBM exactly once and written exactly once (the 2-pass minimum).
+    Input DMAs run 2 chunks ahead; output DMAs drain one chunk behind.
+    """
+    _CH = chunk if chunk is not None else _pick_chunk(ny, nx)
+    if _CH is None:
+        raise ValueError(f"no pipelined tiling for grid {ny}x{nx}")
+    C = ny // _CH
+    q = lattice.q
+    incompressible = equilibrium == "incompressible"
+    w_inlet = np.asarray(inlet_rho, dtype)
+    w_outlet = np.asarray(outlet_rho, dtype)
+    w_omega = np.asarray(omega, dtype)
+
+    def kernel(*refs):
+        if has_obstacle:
+            f_hbm, mask_hbm, out_hbm = refs[:3]
+            (in_ring, out_ring, mask_ring, sem_in, sem_out, sem_mask) = refs[3:]
+        else:
+            f_hbm, out_hbm = refs[:2]
+            in_ring, out_ring, sem_in, sem_out = refs[2:]
+
+        def load(c):
+            slot = c % _NSLOTS
+            return pltpu.make_async_copy(
+                f_hbm.at[:, pl.ds(pl.multiple_of(c * _CH, _CH), _CH), :],
+                in_ring.at[slot], sem_in.at[slot])
+
+        def store(c):
+            slot = c % _NOUT
+            return pltpu.make_async_copy(
+                out_ring.at[slot],
+                out_hbm.at[:, pl.ds(pl.multiple_of(c * _CH, _CH), _CH), :],
+                sem_out.at[slot])
+
+        def load_mask(c):
+            slot = c % 2
+            return pltpu.make_async_copy(
+                mask_hbm.at[pl.ds(pl.multiple_of(c * _CH, _CH), _CH), :],
+                mask_ring.at[slot], sem_mask.at[slot])
+
+        # prologue: two chunks in flight
+        load(0).start()
+        load(1).start()
+        if has_obstacle:
+            load_mask(0).start()
+
+        laneid = jax.lax.broadcasted_iota(jnp.int32, (_CH, nx), 1)
+        rowid0 = jax.lax.broadcasted_iota(jnp.int32, (_CH, nx), 0)
+
+        def body(c, _):
+            # arrivals: chunk 0 at c==0, then chunk c+1 (needed as bottom halo)
+            @pl.when(c == 0)
+            def _():
+                load(0).wait()
+
+            @pl.when(c + 1 < C)
+            def _():
+                load(c + 1).wait()
+
+            if has_obstacle:
+                @pl.when(c + 1 < C)
+                def _():
+                    load_mask(c + 1).start()
+                load_mask(c).wait()
+                mask = mask_ring[c % 2] != 0
+            else:
+                mask = None
+
+            prev = (c - 1) % _NSLOTS
+            cur = c % _NSLOTS
+            nxt = (c + 1) % _NSLOTS
+
+            st = []
+            for j in range(q):
+                cxj, cyj = lattice.cx[j], lattice.cy[j]
+                if cyj == 1:
+                    rows = jnp.concatenate(
+                        [in_ring[prev, j, _CH - 1:_CH, :],
+                         in_ring[cur, j, 0:_CH - 1, :]], axis=0)
+                elif cyj == -1:
+                    rows = jnp.concatenate(
+                        [in_ring[cur, j, 1:_CH, :],
+                         in_ring[nxt, j, 0:1, :]], axis=0)
+                else:
+                    rows = in_ring[cur, j, :, :]
+                st.append(_lane_roll(rows, cxj, nx))
+
+            rowid = rowid0 + c * _CH
+            st = _zou_he_tile(st, rowid, laneid, ny, nx, w_inlet, w_outlet,
+                              incompressible)
+            res = _moments_feq_collide(
+                st, mask, w_omega, lattice, incompressible,
+                zero_vel_in_obstacle=incompressible)
+
+            # output slot reuse: wait for the store issued 2 chunks ago
+            @pl.when(c >= _NOUT)
+            def _():
+                store(c - _NOUT).wait()
+
+            oslot = c % _NOUT
+            for j in range(q):
+                out_ring[oslot, j, :, :] = res[j]
+            store(c).start()
+
+            # prefetch 2 ahead (slot held chunk c-2, no longer needed)
+            @pl.when(c + 2 < C)
+            def _():
+                load(c + 2).start()
+            return 0
+
+        jax.lax.fori_loop(0, C, body, 0)
+        # drain the last stores
+        store(C - 2).wait()
+        store(C - 1).wait()
+
+    scratch = [
+        pltpu.VMEM((_NSLOTS, q, _CH, nx), dtype),
+        pltpu.VMEM((_NOUT, q, _CH, nx), dtype),
+    ]
+    if has_obstacle:
+        scratch.append(pltpu.VMEM((2, _CH, nx), jnp.int32))
+    scratch.append(pltpu.SemaphoreType.DMA((_NSLOTS,)))
+    scratch.append(pltpu.SemaphoreType.DMA((_NOUT,)))
+    if has_obstacle:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+
+    n_in = 2 if has_obstacle else 1
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((q, ny, nx), dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=220 * ny * nx,
+            bytes_accessed=2 * q * ny * nx * 4,
+            transcendentals=0,
+        ),
+    )
+
+    if has_obstacle:
+        def step(f, mask):
+            return call(f, mask)
+    else:
+        def step(f):
+            return call(f)
+
+    return step

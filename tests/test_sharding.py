@@ -1,0 +1,67 @@
+"""Multi-chip domain decomposition tests on a virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from lb2d_tpu.models.pipe_flow import PipeFlow
+from lb2d_tpu.parallel.sharded import ShardedPipeFlow, make_mesh
+
+PARAMS = dict(diameter=1.5, rho=10.0, viscosity=5.0, pressure_grad=-100.0)
+
+
+@pytest.fixture(scope="module")
+def has8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return True
+
+
+def test_mesh_factoring(has8):
+    mesh = make_mesh(8)
+    assert mesh.shape["y"] * mesh.shape["x"] == 8
+    mesh = make_mesh(8, shape=(2, 4))
+    assert mesh.shape["y"] == 2 and mesh.shape["x"] == 4
+
+
+def test_sharded_matches_single_device(has8):
+    # ny = 16 (N=15) divisible by mesh y=2; nx must divide 4.
+    # lx = ceil(pipe_length/L*N): want nx=32 -> lx=31 -> length = 30.5/15*L
+    mesh = make_mesh(8, shape=(2, 4))
+    kwargs = dict(N=15, pipe_length=1.5 * 30.5 / 15, **PARAMS)
+    single = PipeFlow(backend="xla", **kwargs)
+    assert (single.ny, single.nx) == (16, 32)
+    sharded = ShardedPipeFlow(mesh=mesh, **kwargs)
+
+    single.run(20)
+    sharded.run(20)
+    a = np.asarray(single.state)
+    b = np.asarray(jax.device_get(sharded.state))
+    np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-7)
+
+
+def test_sharded_with_obstacle(has8):
+    mesh = make_mesh(8, shape=(2, 4))
+    mask = np.zeros((16, 32), np.int32)
+    mask[6:10, 12:16] = 1
+    kwargs = dict(N=15, pipe_length=1.5 * 30.5 / 15, obstacle_mask=mask, **PARAMS)
+    single = PipeFlow(backend="xla", **kwargs)
+    sharded = ShardedPipeFlow(mesh=mesh, **kwargs)
+    single.run(10)
+    sharded.run(10)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(sharded.state)), np.asarray(single.state),
+        rtol=1e-6, atol=1e-7)
+
+
+def test_graft_dryrun(has8):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", "__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(np.asarray(out)).all()
