@@ -51,6 +51,12 @@ class LBModel:
         ``self.last_mlups`` (million lattice-site updates per second, the
         reference's benchmark metric).
         """
+        if timed and not getattr(self, "_warm", False):
+            # compile outside the timed region (a 0-step call builds the same
+            # executable: the iteration count is a traced argument)
+            self.state = self._run_compiled(self.state, jnp.int32(0))
+            _force_completion(self.state)
+            self._warm = True
         t0 = time.perf_counter() if timed else None
         self.state = self._run_compiled(self.state, jnp.int32(num_iterations))
         if timed:
