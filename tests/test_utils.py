@@ -1,0 +1,105 @@
+"""Aux subsystem tests: metrics, checkpoint/resume, device-side rendering,
+matmul-DFT equivalence."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from lb2d_tpu.models.pipe_flow import PipeFlow
+from lb2d_tpu.utils.checkpoint import load_state, restore_model, save_model, save_state
+from lb2d_tpu.utils.metrics import MachWatchdog, conservation_report, mach_number
+from lb2d_tpu.utils.render import FieldAnimator, colormap_lut, render_field
+
+PARAMS = dict(diameter=1.5, rho=10.0, viscosity=5.0, pressure_grad=-100.0,
+              pipe_length=3.0, N=10)
+
+
+def test_mach_watchdog():
+    import jax.numpy as jnp
+
+    u = jnp.full((4, 4), 0.01)
+    v = jnp.zeros((4, 4))
+    assert mach_number(u, v) == pytest.approx(0.01 * np.sqrt(3), rel=1e-5)
+    with pytest.warns(UserWarning, match="Mach"):
+        MachWatchdog(tolerance=0.1).check(jnp.full((4, 4), 0.2), v)
+
+
+def test_conservation_report():
+    sim = PipeFlow(**PARAMS)
+    rep0 = conservation_report(sim.state)
+    sim.run(50)
+    rep1 = conservation_report(sim.state)
+    # pressure BCs exchange mass through the ends; sums stay finite & close
+    assert np.isfinite(rep1["sum_f"])
+    assert abs(rep1["sum_f"] - rep0["sum_f"]) < 0.05 * abs(rep0["sum_f"])
+
+
+def test_checkpoint_roundtrip_plain_state():
+    sim = PipeFlow(**PARAMS)
+    sim.run(20)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt.npz")
+        save_model(path, sim)
+        before = np.asarray(sim.state)
+        sim.run(10)  # diverge
+        restore_model(path, sim)
+        np.testing.assert_array_equal(np.asarray(sim.state), before)
+        # resumed run is deterministic: matches an uninterrupted run
+        sim.run(10)
+        resumed = np.asarray(sim.state)
+        sim2 = PipeFlow(**PARAMS)
+        sim2.run(30)
+        np.testing.assert_allclose(resumed, np.asarray(sim2.state),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_checkpoint_tuple_state():
+    from lb2d_tpu.models.diffusion import ReactionAdvectionDiffusionStochastic
+
+    sim = ReactionAdvectionDiffusionStochastic(
+        N=15, g=1.0, Dg=1e-4, z=0.1, D=1.0, vx=0.0, vy=0.0, vc=1.0,
+        Lx=0.3, Ly=0.3)
+    sim.run(10)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt.npz")
+        save_state(path, sim.state)
+        f0 = np.asarray(sim.state[0])
+        restored = load_state(path, like=sim.state)
+        np.testing.assert_array_equal(np.asarray(restored[0]), f0)
+        np.testing.assert_array_equal(np.asarray(restored[1]),
+                                      np.asarray(sim.state[1]))
+
+
+def test_render_field():
+    lut = colormap_lut("magma")
+    assert lut.shape == (256, 3) and lut.dtype == np.uint8
+    field = np.linspace(0, 1, 64 * 32).reshape(64, 32)
+    img = np.asarray(render_field(field))
+    assert img.shape == (64, 32, 3) and img.dtype == np.uint8
+    np.testing.assert_array_equal(img[0, 0], lut[0])
+    np.testing.assert_array_equal(img[-1, -1], lut[255])
+    # clim clamps like the reference shader
+    img2 = np.asarray(render_field(field, clim=(0.25, 0.75)))
+    np.testing.assert_array_equal(img2[0, 0], lut[0])
+    np.testing.assert_array_equal(img2[-1, -1], lut[255])
+
+
+def test_field_animator():
+    sim = PipeFlow(**PARAMS)
+    anim = FieldAnimator(sim, field="u", steps_per_frame=5)
+    frame = anim.frame()
+    assert frame.shape[-1] == 3 and frame.dtype == np.uint8
+    assert sim.steps_taken == 5
+
+
+def test_matmul_dft_matches_fft():
+    from lb2d_tpu.models.spectral import screened_poisson_solve
+
+    c = np.random.RandomState(3).randn(24, 40).astype(np.float32)
+    p1, x1, y1 = screened_poisson_solve(c, lam=1.3, dx=0.5, method="fft")
+    p2, x2, y2 = screened_poisson_solve(c, lam=1.3, dx=0.5, method="matmul")
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
