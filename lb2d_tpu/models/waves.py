@@ -1,0 +1,363 @@
+"""Coupled Fisher-wave models.
+
+* :class:`NoisyAdvectedFisherWave` — ``reaction_diffusion/noisy_fisher_wave.py``
+  (``Noisy_Advected_Fisher_Wave``): advected Fisher wave with multiplicative
+  demographic noise ``sqrt(Dg rho (1-rho)) eta`` and negativity clipping
+  (kernel ``collide_particles_noisy_fisher``, ``D2Q9_diffusion.cl:126-167``),
+  fresh Philox normals per step (``noisy_fisher_wave.py:412-430`` ->
+  ``jax.random`` key splits).
+* :class:`ScreenedFisherWave` — ``reaction_diffusion/screened_poisson_waves.py``
+  (``Screened_Fisher_Wave``): all-dimensionless Fisher wave whose advection
+  velocity is the negative gradient of a screened-Poisson potential of its
+  own density, re-solved spectrally **every step**
+  (``screened_poisson_waves.py:337-361``). The reference round-trips
+  LBM kernels and gpyfft plans through one command queue; here the spectral
+  solve (matmul-DFT on TPU) is fused into the same jitted step.
+* :class:`RepellingFisherWave` — ``reaction_diffusion/repelling_fisher_waves_old.py``
+  (``Repelling_Fisher_Wave``): like the screened wave but the potential comes
+  from the *LBM* Poisson solver run to convergence inside each outer step
+  (``repelling_fisher_waves_old.py:380-392``) — a nested on-device
+  ``while_loop`` per step here.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.lattice import D2Q9
+from ..ops.collide import bgk
+from ..ops.equilibrium import feq_linear
+from ..ops.moments import density
+from ..ops.stream import stream
+from ..ops.dft import fft2_mm, ifft2_mm
+from .base import LBModel
+from .spectral import _freqs, spectral_method
+
+__all__ = [
+    "NoisyAdvectedFisherWave",
+    "ScreenedFisherWave",
+    "RepellingFisherWave",
+]
+
+
+class NoisyAdvectedFisherWave(LBModel):
+    """Stochastic Fisher wave in a uniform imposed flow
+    (``noisy_fisher_wave.py:54-480``). Scaling: L = z, T = z^2/D,
+    ``Pe = z vc / D``, ``Gd_lb = (g z^2/D) dt``, ``Dg_lb = (z/(Nc D)) dt/dx``
+    (``noisy_fisher_wave.py:188-207``). State: ``(f, key)``.
+    """
+
+    def __init__(self, Lx=1.0, Ly=1.0, D=1.0, z=0.1, vx=0.0, vy=0.0, vc=0.0,
+                 g=1.0, Nc=10.0, time_prefactor=1.0, N=50, seed=0,
+                 rng_seed=0, dtype=jnp.float32):
+        self.phys_Lx, self.phys_Ly = Lx, Ly
+        self.phys_D, self.phys_z = D, z
+        self.phys_vx, self.phys_vy, self.phys_vc = vx, vy, vc
+        self.phys_g, self.phys_Nc = g, Nc
+        self.N = N
+        self.lattice = D2Q9
+        self.dtype = dtype
+
+        self.L = z
+        self.T = z**2 / D
+        self.delta_x = 1.0 / N
+        self.delta_t = time_prefactor * self.delta_x**2
+        self.ulb = self.delta_t / self.delta_x
+
+        # noisy_fisher_wave.py:188-207
+        self.Pe = z * vc / D
+        self.dim_Gd = g * z**2 / D
+        self.lb_Gd = np.float32(self.dim_Gd * self.delta_t)
+        self.Dg = (1.0 / Nc) * (z / D)
+        self.lb_Dg = np.float32(self.Dg * self.delta_t / self.delta_x)
+        self.lb_D = self.delta_t / self.delta_x**2
+        self.omega = np.float32(1.0 / (0.5 + self.lb_D / self.lattice.cs2))
+        assert self.omega < 2.0
+
+        self.lx = N * int(Lx / self.L)
+        self.ly = N * int(Ly / self.L)
+        self.nx, self.ny = self.lx + 2, self.ly + 2
+
+        if vc != 0:
+            dim_vx, dim_vy = self.Pe * vx / vc, self.Pe * vy / vc
+        else:
+            dim_vx = dim_vy = 0.0
+        self.u = jnp.asarray(np.float32(self.ulb * dim_vx))[None, None]
+        self.v = jnp.asarray(np.float32(self.ulb * dim_vy))[None, None]
+
+        rng = np.random.RandomState(seed)
+        X, Y = np.meshgrid(np.arange(self.nx), np.arange(self.ny))
+        Xd = (X - self.nx // 2) / N
+        Yd = (Y - self.ny // 2) / N
+        rho0 = jnp.asarray(np.exp(-(Xd**2 + Yd**2)), dtype)
+        feq0 = feq_linear(rho0, self.u, self.v)
+        perturb = 1.0 + 0.001 * rng.randn(9, self.ny, self.nx)
+        self.state = (feq0 * jnp.asarray(perturb, dtype),
+                      jax.random.PRNGKey(rng_seed))
+        super().__init__()
+
+    @property
+    def num_cells(self):
+        return self.nx * self.ny
+
+    def make_step(self):
+        u, v = self.u, self.v
+        lat = self.lattice
+        omega = jnp.asarray(self.omega, self.dtype)
+        w = jnp.asarray(lat.w_np())[:, None, None]
+        G = jnp.asarray(self.lb_Gd, self.dtype)
+        Dg = jnp.asarray(self.lb_Dg, self.dtype)
+
+        def step(state):
+            f, key = state
+            key, sub = jax.random.split(key)
+            f = stream(f, lat)
+            rho = density(f)
+            feq = feq_linear(rho, u, v, lat)
+            eta = jax.random.normal(sub, rho.shape, self.dtype)
+            react = (G * rho * (1.0 - rho)
+                     + jnp.sqrt(jnp.maximum(Dg * rho * (1.0 - rho), 0.0)) * eta)
+            f = bgk(f, feq, omega) + w * react
+            return (jnp.maximum(f, 0.0), key)  # D2Q9_diffusion.cl:163
+
+        return step
+
+    def get_fields(self):
+        f, _ = self.state
+        rho = density(f)
+        feq = feq_linear(rho, self.u, self.v)
+        return {
+            "f": self._to_host_xy(f),
+            "feq": self._to_host_xy(feq),
+            "rho": self._to_host_xy(rho),
+            "u": np.broadcast_to(np.asarray(self.u), (self.nx, self.ny)),
+            "v": np.broadcast_to(np.asarray(self.v), (self.nx, self.ny)),
+        }
+
+
+class _ScreenedVelocity:
+    """Per-step screened-Poisson velocity: ``(u, v) = -vc (dt/dx) grad
+    screen(rho)`` with the reference's frequency conventions
+    (``screened_poisson_waves.py:337-361``; axis note: xgrad varies along the
+    reference's x-axis = our lane axis)."""
+
+    def __init__(self, ny, nx, lam, delta_x, vc, ulb, method="auto"):
+        fx, fy = _freqs(ny, nx, delta_x)
+        KX = np.broadcast_to(fx[None, :], (ny, nx)).astype(np.float32)
+        KY = np.broadcast_to(fy[:, None], (ny, nx)).astype(np.float32)
+        self.rescale = jnp.asarray(1.0 / (lam**2 * (KX**2 + KY**2) + 1.0))
+        self.ax = jnp.asarray(2.0 * np.pi * KX)
+        self.ay = jnp.asarray(2.0 * np.pi * KY)
+        self.scale = np.float32(-vc * ulb)
+        self.method = spectral_method(method)
+
+    def __call__(self, rho):
+        if self.method == "fft":
+            chat = jnp.fft.fft2(rho.astype(jnp.complex64)) * self.rescale
+            xg = jnp.real(jnp.fft.ifft2(chat * (1j * self.ax)))
+            yg = jnp.real(jnp.fft.ifft2(chat * (1j * self.ay)))
+        else:
+            cr, ci = fft2_mm(rho)
+            cr, ci = cr * self.rescale, ci * self.rescale
+            xg, _ = ifft2_mm(-self.ax * ci, self.ax * cr)
+            yg, _ = ifft2_mm(-self.ay * ci, self.ay * cr)
+        return self.scale * xg, self.scale * yg
+
+
+class ScreenedFisherWave(LBModel):
+    """Self-repelling Fisher wave (``screened_poisson_waves.py:55-448``):
+    dimensionless units (L = T = 1), D = 1/4, G = 1; each step re-solves the
+    screened Poisson equation for the advection field. Includes the optional
+    Mach watchdog (``check_max_ulb``, ``:347-351``) and
+    :meth:`redo_initial_condition` (``:275-282``)."""
+
+    def __init__(self, Lx=1.0, Ly=1.0, vc=1.0, lam=1.0, R0=5.0,
+                 time_prefactor=1.0, N=50, seed=0, check_max_ulb=False,
+                 mach_tolerance=0.1, dtype=jnp.float32, method="auto"):
+        self.Lx, self.Ly = Lx, Ly
+        self.D, self.G = 1.0 / 4.0, 1.0
+        self.vc, self.lam, self.R0 = vc, lam, R0
+        self.L = self.T = 1.0
+        self.N = N
+        self.lattice = D2Q9
+        self.dtype = dtype
+        self.check_max_ulb = check_max_ulb
+        self.mach_tolerance = mach_tolerance
+
+        self.delta_x = 1.0 / N
+        self.delta_t = time_prefactor * self.delta_x**2
+        self.ulb = self.delta_t / self.delta_x
+        self.lb_D = np.float32(self.D * self.delta_t / self.delta_x**2)
+        self.omega = np.float32(1.0 / (0.5 + self.lb_D / self.lattice.cs2))
+        assert self.omega < 2.0
+        self.lb_G = np.float32(self.G * self.delta_t)
+
+        # grid: round(N*L), no boundary ring (screened_poisson_waves.py:139-141)
+        self.nx = int(np.round(N * Lx))
+        self.ny = int(np.round(N * Ly))
+
+        self._velocity = _ScreenedVelocity(self.ny, self.nx, lam,
+                                           self.delta_x, vc, self.ulb,
+                                           method)
+
+        X, Y = np.meshgrid(np.arange(self.nx), np.arange(self.ny))
+        Xd = (X - self.nx // 2) / N
+        Yd = (Y - self.ny // 2) / N
+        rho0 = jnp.asarray(np.exp(-(Xd**2 + Yd**2) / R0**2), dtype)
+        self.state = self._state_from_rho(rho0)
+        super().__init__()
+
+    def _state_from_rho(self, rho):
+        u, v = self._velocity(rho)
+        return feq_linear(rho, u, v, self.lattice)  # init_pop amplitude=0
+
+    def redo_initial_condition(self, rho_field):
+        """Re-seed from a user density (``screened_poisson_waves.py:275-282``);
+        ``rho_field`` indexed [ny, nx] (or [nx, ny] with ``xy=True``-style
+        transpose done by the caller)."""
+        self.state = self._state_from_rho(
+            jnp.asarray(rho_field, self.dtype))
+        return self
+
+    @property
+    def num_cells(self):
+        return self.nx * self.ny
+
+    def make_step(self):
+        lat = self.lattice
+        omega = jnp.asarray(self.omega, self.dtype)
+        w = jnp.asarray(lat.w_np())[:, None, None]
+        G = jnp.asarray(self.lb_G, self.dtype)
+        velocity = self._velocity
+
+        def step(f):
+            f = stream(f, lat)
+            rho = density(f)
+            u, v = velocity(rho)
+            feq = feq_linear(rho, u, v, lat)
+            react = G * rho * (1.0 - rho)
+            return bgk(f, feq, omega) + w * react
+
+        return step
+
+    def mach_number(self) -> float:
+        from ..utils.metrics import mach_number
+
+        rho = density(self.state)
+        u, v = self._velocity(rho)
+        return mach_number(u, v, self.lattice)
+
+    def get_fields(self):
+        f = self.state
+        rho = density(f)
+        u, v = self._velocity(rho)
+        feq = feq_linear(rho, u, v)
+        return {
+            "f": self._to_host_xy(f),
+            "feq": self._to_host_xy(feq),
+            "rho": self._to_host_xy(rho),
+            "u": self._to_host_xy(u),
+            "v": self._to_host_xy(v),
+        }
+
+
+class RepellingFisherWave(LBModel):
+    """Fisher wave repelled by its own LBM-Poisson potential
+    (``repelling_fisher_waves_old.py:55-477``): per outer step, the Poisson
+    solver re-solves with source rho (to ``max_inner_iter`` or convergence)
+    and the advection velocity is ``E (dt/dx) * (solver.u, solver.v)``
+    (``:380-392``). The inner solve runs as a nested on-device while_loop.
+    """
+
+    def __init__(self, Lx=1.0, Ly=1.0, vc=1.0, E=1.0, R0=5.0,
+                 time_prefactor=1.0, N=50, max_inner_iter=200,
+                 inner_tolerance=1e-5, seed=0, dtype=jnp.float32):
+        from .poisson import PoissonSolver  # shared tile math
+
+        self.D, self.G = 1.0 / 4.0, 1.0
+        self.E = E
+        self.R0 = R0
+        self.N = N
+        self.lattice = D2Q9
+        self.dtype = dtype
+        self.max_inner_iter = max_inner_iter
+
+        self.delta_x = 1.0 / N
+        self.delta_t = time_prefactor * self.delta_x**2
+        self.ulb = self.delta_t / self.delta_x
+        self.lb_D = np.float32(self.D * self.delta_t / self.delta_x**2)
+        self.omega = np.float32(1.0 / (0.5 + self.lb_D / self.lattice.cs2))
+        self.lb_G = np.float32(self.G * self.delta_t)
+
+        self.nx = int(np.round(N * Lx))
+        self.ny = int(np.round(N * Ly))
+
+        X, Y = np.meshgrid(np.arange(self.nx), np.arange(self.ny))
+        Xd = (X - self.nx // 2) / N
+        Yd = (Y - self.ny // 2) / N
+        rho0 = jnp.asarray(np.exp(-(Xd**2 + Yd**2) / R0**2), dtype)
+
+        self.poisson = PoissonSolver(
+            nx=self.nx, ny=self.ny, sources=np.asarray(rho0),
+            delta_t=self.delta_t, delta_x=self.delta_x,
+            tolerance=inner_tolerance, dtype=dtype)
+
+        # state: (wave populations, poisson populations, raw gradient u, v).
+        # Carrying the raw (unscaled) gradient reproduces the reference's
+        # keep-previous-on-non-convergence behavior without its in-place
+        # rescale-compounding bug (repelling_fisher_waves_old.py:384-391
+        # multiplies the solver's aliased buffer by E*dt/dx each call).
+        zero = jnp.zeros((self.ny, self.nx), dtype)
+        self.state = (feq_linear(rho0, zero, zero, self.lattice),
+                      self.poisson.f,
+                      jnp.zeros((self.ny, self.nx), dtype),
+                      jnp.zeros((self.ny, self.nx), dtype))
+        super().__init__()
+
+    @property
+    def num_cells(self):
+        return self.nx * self.ny
+
+    def make_step(self):
+        from ..ops.moments import rho_poisson
+        from .poisson import _poisson_run
+
+        lat = self.lattice
+        omega = jnp.asarray(self.omega, self.dtype)
+        w = jnp.asarray(lat.w_np())[:, None, None]
+        G = jnp.asarray(self.lb_G, self.dtype)
+        consts = self.poisson._consts()
+        source_scale = jnp.float32(self.poisson.lb_D * self.poisson.delta_t)
+        max_iter = self.max_inner_iter
+        scale = jnp.asarray(self.E * self.ulb, self.dtype)
+
+        def step(state):
+            f, pf, pu, pv = state
+            f = stream(f, lat)
+            rho = density(f)
+            # nested Poisson solve with source rho, warm-started from the
+            # previous potential (solver.py update_source keeps rho)
+            prho = rho_poisson(pf, lat)
+            pf, _, pu, pv, _, _ = _poisson_run(
+                consts, pf, prho, pu, pv, rho * source_scale,
+                jnp.int32(0), jnp.int32(max_iter))
+            u, v = scale * pu, scale * pv
+            feq = feq_linear(rho, u, v, lat)
+            react = G * rho * (1.0 - rho)
+            f = bgk(f, feq, omega) + w * react
+            return (f, pf, pu, pv)
+
+        return step
+
+    def get_fields(self):
+        f, pf, pu, pv = self.state
+        rho = density(f)
+        scale = float(self.E * self.ulb)
+        return {
+            "f": self._to_host_xy(f),
+            "rho": self._to_host_xy(rho),
+            "u": self._to_host_xy(scale * pu),
+            "v": self._to_host_xy(scale * pv),
+        }
