@@ -5,6 +5,8 @@ from .diffusion import (
     ReactionAdvectionDiffusionStochastic,
     ReactionDiffusion,
 )
+from .multicomponent import Fluid, SimulationRunner
+from .multifield import Expansion, FisherExpansion
 from .pipe_flow import (
     PipeFlow,
     PipeFlowCylinder,
@@ -12,16 +14,32 @@ from .pipe_flow import (
     PipeFlowVelocityInlet,
     disk_mask,
 )
+from .poisson import PoissonSolver
+from .rocket_yeast import RocketYeast, RocketYeastForcesOnly
+from .spectral import ScreenedPoisson, screened_poisson_solve
+from .surfactant import ClumpySurfactantNutrientWave, SurfactantNutrientWave
+from .waves import (
+    NoisyAdvectedFisherWave,
+    RepellingFisherWave,
+    ScreenedFisherWave,
+)
 
 __all__ = [
-    "PipeFlow",
-    "PipeFlowCylinder",
-    "PipeFlowObstacles",
-    "PipeFlowVelocityInlet",
-    "disk_mask",
-    "Diffusion",
-    "AdvectionDiffusion",
-    "ReactionDiffusion",
-    "ReactionAdvectionDiffusion",
-    "ReactionAdvectionDiffusionStochastic",
+    # flow family
+    "PipeFlow", "PipeFlowCylinder", "PipeFlowObstacles",
+    "PipeFlowVelocityInlet", "disk_mask",
+    # diffusion family
+    "Diffusion", "AdvectionDiffusion", "ReactionDiffusion",
+    "ReactionAdvectionDiffusion", "ReactionAdvectionDiffusionStochastic",
+    # waves
+    "NoisyAdvectedFisherWave", "ScreenedFisherWave", "RepellingFisherWave",
+    # multifield
+    "FisherExpansion", "Expansion",
+    # surfactant / rocket yeast
+    "SurfactantNutrientWave", "ClumpySurfactantNutrientWave",
+    "RocketYeast", "RocketYeastForcesOnly",
+    # solvers
+    "PoissonSolver", "ScreenedPoisson", "screened_poisson_solve",
+    # multicomponent engine
+    "Fluid", "SimulationRunner",
 ]
