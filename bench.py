@@ -19,18 +19,24 @@ def main():
     from lb2d_tpu.models.pipe_flow import PipeFlow
     from lb2d_tpu.ops.fused import (
         make_pipelined_pipe_step,
+        make_temporal_pipe_step,
         supports_pipelined,
+        supports_temporal,
     )
 
     sim = PipeFlow(diameter=1.0, rho=1.0, viscosity=0.1, pressure_grad=-0.01,
                    pipe_length=1.0, N=4095, backend="xla")
     ny, nx = sim.ny, sim.nx
+    kw = dict(ny=ny, nx=nx, omega=sim.omega,
+              inlet_rho=sim.inlet_rho, outlet_rho=sim.outlet_rho)
 
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu and supports_pipelined(ny, nx):
-        step = make_pipelined_pipe_step(
-            ny=ny, nx=nx, omega=sim.omega,
-            inlet_rho=sim.inlet_rho, outlet_rho=sim.outlet_rho)
+    steps_per_call = 1
+    if on_tpu and supports_temporal(ny, nx):
+        step = make_temporal_pipe_step(**kw)   # 2 LB steps per sweep
+        steps_per_call = 2
+    elif on_tpu and supports_pipelined(ny, nx):
+        step = make_pipelined_pipe_step(**kw)
     else:
         step = sim.make_step()
 
@@ -44,7 +50,7 @@ def main():
         # a device->host readback is the only reliable completion barrier.
         return float(jnp.sum(f[0, 0, :8]))
 
-    n_warm, n_meas = (10, 500) if on_tpu else (2, 5)
+    n_warm, n_meas = (10, 400) if on_tpu else (2, 4)
     f = run_n(sim.state, jnp.int32(n_warm))
     sync(f)
     t0 = time.perf_counter()
@@ -53,7 +59,7 @@ def main():
     dt = time.perf_counter() - t0
     assert bool(jnp.isfinite(f).all()), "non-finite state after benchmark"
 
-    mlups = ny * nx * n_meas / dt / 1e6
+    mlups = ny * nx * n_meas * steps_per_call / dt / 1e6
     print(json.dumps({
         "metric": "MLUPS@4096^2 D2Q9 pipe flow",
         "value": round(mlups, 1),

@@ -34,6 +34,15 @@ class LBModel:
         self.steps_taken = 0
         self.last_mlups = None
 
+    @property
+    def _remainder_step(self):
+        """Single-LB-step function for leftover iterations when the main step
+        advances more than one (temporal blocking). Subclasses with
+        ``steps_per_call > 1`` must set ``self._single_step``."""
+        if not hasattr(self, "_single_step_jit"):
+            self._single_step_jit = jax.jit(self._single_step)
+        return self._single_step_jit
+
     # -- to be provided by subclasses ---------------------------------------
     def make_step(self):
         raise NotImplementedError
@@ -57,8 +66,14 @@ class LBModel:
             self.state = self._run_compiled(self.state, jnp.int32(0))
             _force_completion(self.state)
             self._warm = True
+        # temporal-blocked steps advance `steps_per_call` LB steps per call;
+        # the remainder falls back to the single-step function
+        spc = getattr(self, "steps_per_call", 1)
+        n_calls, rem = divmod(num_iterations, spc)
         t0 = time.perf_counter() if timed else None
-        self.state = self._run_compiled(self.state, jnp.int32(num_iterations))
+        self.state = self._run_compiled(self.state, jnp.int32(n_calls))
+        for _ in range(rem):
+            self.state = self._remainder_step(self.state)
         if timed:
             _force_completion(self.state)
             dt = time.perf_counter() - t0

@@ -29,7 +29,14 @@ from ..ops.boundary import (
 )
 from ..ops.collide import bgk
 from ..ops.equilibrium import feq_incompressible, feq_quadratic
-from ..ops.fused import make_fused_pipe_step, supports_fused
+from ..ops.fused import (
+    make_fused_pipe_step,
+    make_pipelined_pipe_step,
+    make_temporal_pipe_step,
+    supports_fused,
+    supports_pipelined,
+    supports_temporal,
+)
 from ..ops.moments import hydro_compressible, hydro_incompressible
 from ..ops.stream import stream
 from .base import LBModel
@@ -95,17 +102,23 @@ class PipeFlow(LBModel):
             else jnp.asarray(np.asarray(obstacle_mask, dtype=bool))
         )
 
-        # Backend selection: the fused Pallas kernel does the whole step in
-        # one HBM read + one write; "auto" picks it on TPU whenever the grid
-        # tiles cleanly, with the pure-XLA path as oracle/fallback.
+        # Backend selection, fastest first:
+        # - "temporal": 2 LB steps per HBM sweep (no obstacle support yet)
+        # - "pipelined": single-sweep fused kernel, 1 read + 1 write per step
+        # - "fused": blocked kernel with halo-chunk DMAs
+        # - "xla": pure-XLA oracle path (any grid/backend)
         if backend == "auto":
-            backend = (
-                "fused"
-                if jax.default_backend() == "tpu"
-                and supports_fused(self.ny, self.nx)
-                and self._fused_capable()
-                else "xla"
-            )
+            on_tpu = jax.default_backend() == "tpu"
+            if not (on_tpu and self._fused_capable()):
+                backend = "xla"
+            elif (obstacle_mask is None and supports_temporal(self.ny, self.nx)):
+                backend = "temporal"
+            elif supports_pipelined(self.ny, self.nx):
+                backend = "pipelined"
+            elif supports_fused(self.ny, self.nx):
+                backend = "fused"
+            else:
+                backend = "xla"
         self.backend = backend
 
         self.state = self._init_state(np.random.RandomState(seed))
@@ -165,18 +178,38 @@ class PipeFlow(LBModel):
         return True  # pressure-BC family; subclasses may opt out
 
     def make_step(self):
-        if getattr(self, "backend", "xla") == "fused":
-            return self._make_fused_step()
+        backend = getattr(self, "backend", "xla")
+        if backend == "temporal":
+            return self._make_temporal_step()
+        if backend == "pipelined":
+            return self._make_kernel_step(make_pipelined_pipe_step)
+        if backend == "fused":
+            return self._make_kernel_step(make_fused_pipe_step)
         return self._make_xla_step()
 
-    def _make_fused_step(self):
-        fused = make_fused_pipe_step(
+    def _kernel_kwargs(self):
+        return dict(
             ny=self.ny, nx=self.nx, omega=self.omega,
             inlet_rho=self.inlet_rho, outlet_rho=self.outlet_rho,
             equilibrium=self.equilibrium,
-            has_obstacle=self.obstacle_mask is not None,
             lattice=self.lattice, dtype=self.dtype,
             interpret=jax.default_backend() != "tpu",
+        )
+
+    def _make_temporal_step(self):
+        step2 = make_temporal_pipe_step(**self._kernel_kwargs())
+        self.steps_per_call = 2
+        # remainder (odd iteration counts) runs one pipelined single step
+        if supports_pipelined(self.ny, self.nx):
+            self._single_step = make_pipelined_pipe_step(**self._kernel_kwargs())
+        else:
+            self._single_step = self._make_xla_step()
+        return step2
+
+    def _make_kernel_step(self, maker):
+        fused = maker(
+            has_obstacle=self.obstacle_mask is not None,
+            **self._kernel_kwargs(),
         )
         if self.obstacle_mask is not None:
             mask = self.obstacle_mask.astype(jnp.int32)

@@ -40,8 +40,10 @@ from ..core.lattice import Lattice, D2Q9
 __all__ = [
     "make_fused_pipe_step",
     "make_pipelined_pipe_step",
+    "make_temporal_pipe_step",
     "supports_fused",
     "supports_pipelined",
+    "supports_temporal",
 ]
 
 
@@ -129,9 +131,15 @@ def _zou_he_tile(st, rowid, laneid, ny, nx, inlet_rho, outlet_rho,
 def _moments_feq_collide(st, mask, omega, lattice, incompressible,
                          zero_vel_in_obstacle):
     """Bounce-back (optional) + moments + feq + BGK on streamed tile planes.
-    Returns the 9 post-collision planes."""
+    Returns the 9 post-collision planes.
+
+    The D2Q9 fast path shares arithmetic across opposite-direction pairs
+    (Succi-style factoring, cf. ``python_dim.py:151-180``): each axis
+    ``a in {u, v, u+v, u-v}`` contributes ``quad_+- = 4.5 a^2 - 1.5|u|^2
+    +- 3a`` to a +/- direction pair, roughly halving the VPU op count of the
+    naive per-direction form.
+    """
     q = lattice.q
-    cxs, cys, ws = lattice.cx, lattice.cy, lattice.w
     cs2 = lattice.cs2
 
     if mask is not None:
@@ -140,6 +148,75 @@ def _moments_feq_collide(st, mask, omega, lattice, incompressible,
         for j in range(q):
             st[j] = jnp.where(mask, s2[lattice.opp[j]], st[j])
 
+    if lattice is not D2Q9:
+        return _moments_feq_collide_generic(st, omega, lattice,
+                                            incompressible)
+
+    f0, f1, f2, f3, f4, f5, f6, f7, f8 = st
+    rho = ((f1 + f3) + (f2 + f4)) + ((f5 + f7) + (f6 + f8)) + f0
+    d13 = f1 - f3
+    d24 = f2 - f4
+    d57 = f5 - f7
+    d68 = f6 - f8
+    jx = d13 + d57 - d68
+    jy = d24 + d57 + d68
+    if incompressible:
+        u, v = jx, jy
+    else:
+        inv = 1.0 / rho
+        u, v = jx * inv, jy * inv
+    if mask is not None and zero_vel_in_obstacle:
+        # D2Q9i driver zeroes velocity inside the mask (opencl_dim_D2Q9i.py:494-502)
+        u = jnp.where(mask, 0.0, u)
+        v = jnp.where(mask, 0.0, v)
+
+    s = (u * u + v * v) * (0.5 / cs2)      # |u|^2 / (2 cs^2)
+    inv_cs2 = 1.0 / cs2
+    half_cs4 = 0.5 / (cs2 * cs2)
+
+    def quad_pair(a):
+        t1 = a * inv_cs2
+        r = a * a * half_cs4 - s
+        return r + t1, r - t1
+
+    q1, q3 = quad_pair(u)
+    q2, q4 = quad_pair(v)
+    q5, q7 = quad_pair(u + v)
+    q8, q6 = quad_pair(u - v)
+    q0 = -s
+
+    om = omega
+    A = 1.0 - om
+    if incompressible:
+        # feq_j = w_j (rho + quad_j) (D2Q9i.cl:55-60)
+        def relax(f, wj, qj):
+            return f * A + (om * wj) * (rho + qj)
+    else:
+        # feq_j = w_j rho (1 + quad_j) (D2Q9.cl:55-60)
+        wr = {}
+
+        def relax(f, wj, qj):
+            key = wj
+            if key not in wr:
+                wr[key] = (om * wj) * rho
+            base = wr[key]
+            return f * A + base + base * qj
+
+    w0, w1, w2 = 4.0 / 9.0, 1.0 / 9.0, 1.0 / 36.0
+    return [
+        relax(f0, w0, q0),
+        relax(f1, w1, q1), relax(f2, w1, q2),
+        relax(f3, w1, q3), relax(f4, w1, q4),
+        relax(f5, w2, q5), relax(f6, w2, q6),
+        relax(f7, w2, q7), relax(f8, w2, q8),
+    ]
+
+
+def _moments_feq_collide_generic(st, omega, lattice, incompressible):
+    """Per-direction fallback for non-D2Q9 lattices."""
+    q = lattice.q
+    cxs, cys, ws = lattice.cx, lattice.cy, lattice.w
+    cs2 = lattice.cs2
     rho = st[0]
     for j in range(1, q):
         rho = rho + st[j]
@@ -155,11 +232,6 @@ def _moments_feq_collide(st, mask, omega, lattice, incompressible,
     else:
         inv = 1.0 / rho
         u, v = jx * inv, jy * inv
-    if mask is not None and zero_vel_in_obstacle:
-        # D2Q9i driver zeroes velocity inside the mask (opencl_dim_D2Q9i.py:494-502)
-        u = jnp.where(mask, 0.0, u)
-        v = jnp.where(mask, 0.0, v)
-
     usq = u * u + v * v
     out = []
     for j in range(q):
@@ -177,6 +249,99 @@ def _lane_roll(arr, shift, nx):
     if shift:
         return pltpu.roll(arr, shift % nx, axis=1)
     return arr
+
+
+def _zou_he_inout_narrow(st, rowid, laneid, ny, nx, inlet_rho, outlet_rho,
+                         incompressible):
+    """Cost-optimized Zou-He inlet/outlet columns for the pipelined kernel.
+
+    The formulas only matter on lanes 0 and nx-1, so they are evaluated on
+    128-lane slices (one lane-tile) and broadcast back through the masked
+    select as [rows, 1] columns — 1/32nd of the full-width arithmetic.
+    Identical formulas to :func:`_zou_he_tile`; only the evaluation domain
+    shrinks. Walls/corners are handled separately by
+    :func:`_walls_corners_tile` on the edge row chunks.
+    """
+    L = min(128, nx)
+    sL = [p[:, :L] for p in st]
+    sR = [p[:, -L:] for p in st]
+
+    if incompressible:
+        u_in = (-sL[0] - sL[2] - 2 * sL[3] - sL[4] - 2 * sL[6] - 2 * sL[7]
+                + inlet_rho)
+        in1 = (1.0 / 3.0) * (3 * sL[3] + 2 * u_in)
+        in5 = (1.0 / 6.0) * (-3 * sL[2] + 3 * sL[4] + 6 * sL[7] + u_in)
+        in8 = (1.0 / 6.0) * (3 * sL[2] - 3 * sL[4] + 6 * sL[6] + u_in)
+        u_out = (sR[0] + 2 * sR[1] + sR[2] + sR[4] + 2 * sR[5] + 2 * sR[8]
+                 - outlet_rho)
+        out3 = (1.0 / 3.0) * (3 * sR[1] - 2 * u_out)
+        out6 = (1.0 / 6.0) * (-3 * sR[2] + 3 * sR[4] + 6 * sR[8] - u_out)
+        out7 = (1.0 / 6.0) * (3 * sR[2] - 3 * sR[4] + 6 * sR[5] - u_out)
+    else:
+        u_in = -((sL[0] + sL[2] + 2 * sL[3] + sL[4] + 2 * sL[6] + 2 * sL[7]
+                  - inlet_rho) / inlet_rho)
+        in1 = sL[3] + (2.0 / 3.0) * inlet_rho * u_in
+        in5 = -0.5 * sL[2] + 0.5 * sL[4] + sL[7] + (1.0 / 6.0) * u_in * inlet_rho
+        in8 = 0.5 * sL[2] - 0.5 * sL[4] + sL[6] + (1.0 / 6.0) * u_in * inlet_rho
+        u_out = (-1.0 + (sR[0] + 2 * sR[1] + sR[2] + sR[4] + 2 * sR[5]
+                         + 2 * sR[8]) / outlet_rho)
+        out3 = sR[1] - (2.0 / 3.0) * outlet_rho * u_out
+        out6 = -0.5 * sR[2] + 0.5 * sR[4] + sR[8] - (1.0 / 6.0) * u_out * outlet_rho
+        out7 = 0.5 * sR[2] - 0.5 * sR[4] + sR[5] - (1.0 / 6.0) * u_out * outlet_rho
+
+    # Full-size masked selects with a [rows, 1] column broadcast: the
+    # boundary value is constant along lanes, so only its lane-0 (resp.
+    # lane nx-1) column is selected. (Narrow-select + concat splice and
+    # dynamic_update_slice variants crash / are unimplemented in Mosaic.)
+    row_int = (rowid >= 1) & (rowid <= ny - 2)
+    m_in = (laneid == 0) & row_int
+    m_out = (laneid == nx - 1) & row_int
+    st[1] = jnp.where(m_in, in1[:, :1], st[1])
+    st[5] = jnp.where(m_in, in5[:, :1], st[5])
+    st[8] = jnp.where(m_in, in8[:, :1], st[8])
+    st[3] = jnp.where(m_out, out3[:, -1:], st[3])
+    st[6] = jnp.where(m_out, out6[:, -1:], st[6])
+    st[7] = jnp.where(m_out, out7[:, -1:], st[7])
+    return st
+
+
+def _walls_corners_tile(st, rowid, laneid, ny, nx, inlet_rho, outlet_rho):
+    """Solid walls + 4 corners (``D2Q9.cl:212-259``) as masked selects on a
+    (small) tile; the pipelined kernel calls this only on the edge row
+    slices under ``pl.when``."""
+    st = list(st)
+    s = tuple(st)
+    lane_int = (laneid >= 1) & (laneid <= nx - 2)
+    lane0 = laneid == 0
+    laneN = laneid == nx - 1
+    row0 = rowid == 0
+    rowN = rowid == ny - 1
+    m_n = rowN & lane_int
+    m_s = row0 & lane_int
+    st[4] = jnp.where(m_n, s[2], st[4])
+    st[8] = jnp.where(m_n, 0.5 * (-s[1] + s[3] + 2 * s[6]), st[8])
+    st[7] = jnp.where(m_n, 0.5 * (s[1] - s[3] + 2 * s[5]), st[7])
+    st[2] = jnp.where(m_s, s[4], st[2])
+    st[6] = jnp.where(m_s, 0.5 * (s[1] - s[3] + 2 * s[8]), st[6])
+    st[5] = jnp.where(m_s, 0.5 * (-s[1] + s[3] + 2 * s[7]), st[5])
+
+    bi = row0 & lane0
+    ti = rowN & lane0
+    bo = row0 & laneN
+    to = rowN & laneN
+    bi_d = 0.5 * (-s[0] - 2 * s[3] - 2 * s[4] - 2 * s[7] + inlet_rho)
+    ti_d = 0.5 * (-s[0] - 2 * s[2] - 2 * s[3] - 2 * s[6] + inlet_rho)
+    bo_d = 0.5 * (-s[0] - 2 * s[1] - 2 * s[4] - 2 * s[8] + outlet_rho)
+    to_d = 0.5 * (-s[0] - 2 * s[1] - 2 * s[2] - 2 * s[5] + outlet_rho)
+    st[1] = jnp.where(bi | ti, s[3], st[1])
+    st[2] = jnp.where(bi | bo, s[4], st[2])
+    st[5] = jnp.where(bi, s[7], jnp.where(ti, ti_d, jnp.where(bo, bo_d, st[5])))
+    st[6] = jnp.where(bi, bi_d, jnp.where(bo, s[8], jnp.where(to, to_d, st[6])))
+    st[8] = jnp.where(bi, bi_d, jnp.where(ti, s[6], jnp.where(to, to_d, st[8])))
+    st[4] = jnp.where(ti | to, s[2], st[4])
+    st[7] = jnp.where(ti, ti_d, jnp.where(bo, bo_d, jnp.where(to, s[5], st[7])))
+    st[3] = jnp.where(bo | to, s[1], st[3])
+    return st
 
 
 # ---------------------------------------------------------------------------
@@ -362,6 +527,8 @@ def make_pipelined_pipe_step(
     dtype=jnp.float32,
     interpret: bool = False,
     chunk: int | None = None,
+    nslots: int = _NSLOTS,
+    nout: int = _NOUT,
 ):
     """Build ``step(f [, mask]) -> f`` as a single-sweep pipelined kernel.
 
@@ -374,7 +541,9 @@ def make_pipelined_pipe_step(
     _CH = chunk if chunk is not None else _pick_chunk(ny, nx)
     if _CH is None:
         raise ValueError(f"no pipelined tiling for grid {ny}x{nx}")
+    _NS, _NO = nslots, nout
     C = ny // _CH
+    assert C >= _NS, (C, _NS)
     q = lattice.q
     incompressible = equilibrium == "incompressible"
     w_inlet = np.asarray(inlet_rho, dtype)
@@ -390,13 +559,13 @@ def make_pipelined_pipe_step(
             in_ring, out_ring, sem_in, sem_out = refs[2:]
 
         def load(c):
-            slot = c % _NSLOTS
+            slot = c % _NS
             return pltpu.make_async_copy(
                 f_hbm.at[:, pl.ds(pl.multiple_of(c * _CH, _CH), _CH), :],
                 in_ring.at[slot], sem_in.at[slot])
 
         def store(c):
-            slot = c % _NOUT
+            slot = c % _NO
             return pltpu.make_async_copy(
                 out_ring.at[slot],
                 out_hbm.at[:, pl.ds(pl.multiple_of(c * _CH, _CH), _CH), :],
@@ -408,9 +577,9 @@ def make_pipelined_pipe_step(
                 mask_hbm.at[pl.ds(pl.multiple_of(c * _CH, _CH), _CH), :],
                 mask_ring.at[slot], sem_mask.at[slot])
 
-        # prologue: two chunks in flight
-        load(0).start()
-        load(1).start()
+        # prologue: fill the ring (up to _NS - 2 loads in flight)
+        for k in range(min(_NS - 2, C)):
+            load(k).start()
         if has_obstacle:
             load_mask(0).start()
 
@@ -436,9 +605,9 @@ def make_pipelined_pipe_step(
             else:
                 mask = None
 
-            prev = (c - 1) % _NSLOTS
-            cur = c % _NSLOTS
-            nxt = (c + 1) % _NSLOTS
+            prev = (c - 1) % _NS
+            cur = c % _NS
+            nxt = (c + 1) % _NS
 
             st = []
             for j in range(q):
@@ -456,26 +625,33 @@ def make_pipelined_pipe_step(
                 st.append(_lane_roll(rows, cxj, nx))
 
             rowid = rowid0 + c * _CH
-            st = _zou_he_tile(st, rowid, laneid, ny, nx, w_inlet, w_outlet,
-                              incompressible)
+            st = _zou_he_inout_narrow(st, rowid, laneid, ny, nx, w_inlet,
+                                      w_outlet, incompressible)
+            # Walls + corners only touch global rows 0 / ny-1; their masks are
+            # all-false on interior chunks but the selects still run — cheap
+            # relative to the narrow inlet/outlet savings, and conditional
+            # variants (lax.cond / pl.when row-slice recompute) either explode
+            # Mosaic compile time or crash the compiler on this backend.
+            st = _walls_corners_tile(st, rowid, laneid, ny, nx, w_inlet,
+                                     w_outlet)
             res = _moments_feq_collide(
                 st, mask, w_omega, lattice, incompressible,
                 zero_vel_in_obstacle=incompressible)
 
             # output slot reuse: wait for the store issued 2 chunks ago
-            @pl.when(c >= _NOUT)
+            @pl.when(c >= _NO)
             def _():
-                store(c - _NOUT).wait()
+                store(c - _NO).wait()
 
-            oslot = c % _NOUT
+            oslot = c % _NO
             for j in range(q):
                 out_ring[oslot, j, :, :] = res[j]
             store(c).start()
 
-            # prefetch 2 ahead (slot held chunk c-2, no longer needed)
-            @pl.when(c + 2 < C)
+            # prefetch _NS-2 ahead (that slot held chunk c-2, now dead)
+            @pl.when(c + _NS - 2 < C)
             def _():
-                load(c + 2).start()
+                load(c + _NS - 2).start()
             return 0
 
         jax.lax.fori_loop(0, C, body, 0)
@@ -484,13 +660,13 @@ def make_pipelined_pipe_step(
         store(C - 1).wait()
 
     scratch = [
-        pltpu.VMEM((_NSLOTS, q, _CH, nx), dtype),
-        pltpu.VMEM((_NOUT, q, _CH, nx), dtype),
+        pltpu.VMEM((_NS, q, _CH, nx), dtype),
+        pltpu.VMEM((_NO, q, _CH, nx), dtype),
     ]
     if has_obstacle:
         scratch.append(pltpu.VMEM((2, _CH, nx), jnp.int32))
-    scratch.append(pltpu.SemaphoreType.DMA((_NSLOTS,)))
-    scratch.append(pltpu.SemaphoreType.DMA((_NOUT,)))
+    scratch.append(pltpu.SemaphoreType.DMA((_NS,)))
+    scratch.append(pltpu.SemaphoreType.DMA((_NO,)))
     if has_obstacle:
         scratch.append(pltpu.SemaphoreType.DMA((2,)))
 
@@ -520,3 +696,175 @@ def make_pipelined_pipe_step(
             return call(f)
 
     return step
+
+
+# ---------------------------------------------------------------------------
+# temporal-blocked kernel: TWO LB steps per HBM sweep
+# ---------------------------------------------------------------------------
+
+_T2_CH = 16      # chunk height for the 2-step kernel
+_T2_NS = 5       # step-0 input ring depth
+_T2_NM = 4       # step-1 intermediate ring depth
+_T2_NO = 2       # output ring depth
+
+
+def supports_temporal(ny: int, nx: int) -> bool:
+    """2-step temporal blocking needs >= 6 aligned chunks and 128-lane rows."""
+    return (nx % 128 == 0 and ny % _T2_CH == 0
+            and ny // _T2_CH >= max(_T2_NS, 6))
+
+
+def make_temporal_pipe_step(
+    *,
+    ny: int,
+    nx: int,
+    omega: float,
+    inlet_rho: float,
+    outlet_rho: float,
+    equilibrium: str = "compressible",
+    lattice: Lattice = D2Q9,
+    dtype=jnp.float32,
+    interpret: bool = False,
+):
+    """Build ``step2(f) -> f`` advancing TWO LB steps in one HBM sweep.
+
+    Classic temporal blocking: the sweep keeps a second VMEM ring of
+    *step-1* chunks; step-2 output chunk ``c`` is computed from step-1
+    chunks ``c-1, c, c+1``, which were themselves computed from input chunks
+    read exactly once. HBM traffic per *LB step* is therefore halved to one
+    read + one write per TWO steps — below the single-step traffic minimum —
+    at the cost of ~2x the (otherwise idle) VPU work. The loop is skewed
+    (iteration k runs stage-1 on chunk k and stage-2 on chunk k-1) so each
+    stage is instantiated exactly once, keeping Mosaic compile time sane.
+
+    Each internal step applies the full stream -> Zou-He -> moments -> feq
+    -> collide pipeline, so ``step2 == step o step`` of the XLA oracle to
+    fp32 roundoff. Obstacle masks are not supported on this path (the
+    single-step pipelined kernel handles them).
+    """
+    CH = _T2_CH
+    if not supports_temporal(ny, nx):
+        raise ValueError(f"no temporal tiling for grid {ny}x{nx}")
+    C = ny // CH
+    q = lattice.q
+    incompressible = equilibrium == "incompressible"
+    w_inlet = np.asarray(inlet_rho, dtype)
+    w_outlet = np.asarray(outlet_rho, dtype)
+    w_omega = np.asarray(omega, dtype)
+
+    def kernel(f_hbm, out_hbm, in_ring, mid_ring, out_ring, sem_in, sem_out):
+        laneid = jax.lax.broadcasted_iota(jnp.int32, (CH, nx), 1)
+        rowid0 = jax.lax.broadcasted_iota(jnp.int32, (CH, nx), 0)
+
+        def load(c):
+            return pltpu.make_async_copy(
+                f_hbm.at[:, pl.ds(pl.multiple_of(c * CH, CH), CH), :],
+                in_ring.at[c % _T2_NS], sem_in.at[c % _T2_NS])
+
+        def store(c):
+            return pltpu.make_async_copy(
+                out_ring.at[c % _T2_NO],
+                out_hbm.at[:, pl.ds(pl.multiple_of(c * CH, CH), CH), :],
+                sem_out.at[c % _T2_NO])
+
+        def chunk_step(ring, depth, k):
+            """One LB step for chunk k, stream halos from ring chunks
+            k-1 / k+1 (stale/garbage rows at domain edges are rewritten by
+            the BCs)."""
+            prev = (k - 1) % depth
+            cur = k % depth
+            nxt = (k + 1) % depth
+            st = []
+            for j in range(q):
+                cxj, cyj = lattice.cx[j], lattice.cy[j]
+                if cyj == 1:
+                    rows = jnp.concatenate(
+                        [ring[prev, j, CH - 1:CH, :],
+                         ring[cur, j, 0:CH - 1, :]], axis=0)
+                elif cyj == -1:
+                    rows = jnp.concatenate(
+                        [ring[cur, j, 1:CH, :],
+                         ring[nxt, j, 0:1, :]], axis=0)
+                else:
+                    rows = ring[cur, j, :, :]
+                st.append(_lane_roll(rows, cxj, nx))
+            rowid = rowid0 + k * CH
+            st = _zou_he_inout_narrow(st, rowid, laneid, ny, nx, w_inlet,
+                                      w_outlet, incompressible)
+            st = _walls_corners_tile(st, rowid, laneid, ny, nx, w_inlet,
+                                     w_outlet)
+            return _moments_feq_collide(st, None, w_omega, lattice,
+                                        incompressible, False)
+
+        # prologue: three loads in flight
+        load(0).start()
+        load(1).start()
+        load(2).start()
+
+        def body(k, _):
+            # stage 1 on chunk k (needs input chunks k-1, k, k+1)
+            @pl.when(k == 0)
+            def _():
+                load(0).wait()
+
+            @pl.when(k + 1 < C)
+            def _():
+                load(k + 1).wait()
+
+            @pl.when(k < C)
+            def _():
+                res = chunk_step(in_ring, _T2_NS, k)
+                for j in range(q):
+                    mid_ring[k % _T2_NM, j, :, :] = res[j]
+
+            # stage 2 on chunk k-1 (needs step-1 chunks k-2, k-1, k)
+            @pl.when(k >= 1)
+            def _():
+                c = k - 1
+
+                @pl.when(c >= _T2_NO)
+                def _():
+                    store(c - _T2_NO).wait()
+
+                res = chunk_step(mid_ring, _T2_NM, c)
+                for j in range(q):
+                    out_ring[c % _T2_NO, j, :, :] = res[j]
+                store(c).start()
+
+            # prefetch: slot (k+3) % NS held chunk k-2, now dead
+            @pl.when(k + 3 < C)
+            def _():
+                load(k + 3).start()
+            return 0
+
+        jax.lax.fori_loop(0, C + 1, body, 0)
+        store(C - 2).wait()
+        store(C - 1).wait()
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((q, ny, nx), dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((_T2_NS, q, CH, nx), dtype),
+            pltpu.VMEM((_T2_NM, q, CH, nx), dtype),
+            pltpu.VMEM((_T2_NO, q, CH, nx), dtype),
+            pltpu.SemaphoreType.DMA((_T2_NS,)),
+            pltpu.SemaphoreType.DMA((_T2_NO,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=440 * ny * nx,
+            bytes_accessed=2 * q * ny * nx * 4,
+            transcendentals=0,
+        ),
+    )
+
+    def step2(f):
+        return call(f)
+
+    return step2

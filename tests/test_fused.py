@@ -1,0 +1,109 @@
+"""Fused Pallas kernel parity tests (interpret mode on CPU).
+
+Both fused kernels must reproduce the XLA-path step (itself verified against
+the numpy two-buffer oracle in test_pipe_flow.py) to float32 roundoff.
+"""
+
+import numpy as np
+import pytest
+
+from lb2d_tpu.models.pipe_flow import PipeFlow
+from lb2d_tpu.ops.fused import (
+    make_fused_pipe_step,
+    make_pipelined_pipe_step,
+    supports_fused,
+    supports_pipelined,
+)
+
+PHYS = dict(diameter=1.0, rho=10.0, viscosity=5.0, pressure_grad=-100.0)
+
+
+def _sim(ny=32, nx=128, **kw):
+    # grid (ny, nx): N = ny-1, pipe_length chosen for lx = nx-1
+    N = ny - 1
+    return PipeFlow(N=N, pipe_length=(nx - 1.5) / N, backend="xla",
+                    **PHYS, **kw)
+
+
+def _compare(step_a, step_b, f0, n=4, atol=5e-7):
+    a = b = f0
+    for _ in range(n):
+        a = step_a(a)
+        b = step_b(b)
+    d = float(np.abs(np.asarray(a) - np.asarray(b)).max())
+    assert d < atol, d
+
+
+def test_support_gating():
+    assert supports_fused(4096, 4096)
+    assert supports_pipelined(4096, 4096)
+    assert not supports_fused(31, 61)        # unaligned lanes
+    assert not supports_pipelined(4096, 4100)
+    assert not supports_pipelined(24, 128)   # fewer chunks than ring slots
+
+
+def test_blocked_kernel_matches_xla():
+    sim = _sim()
+    fused = make_fused_pipe_step(
+        ny=sim.ny, nx=sim.nx, omega=sim.omega, inlet_rho=sim.inlet_rho,
+        outlet_rho=sim.outlet_rho, interpret=True)
+    _compare(sim.make_step(), fused, sim.state)
+
+
+def test_pipelined_kernel_matches_xla():
+    sim = _sim()
+    pipe = make_pipelined_pipe_step(
+        ny=sim.ny, nx=sim.nx, omega=sim.omega, inlet_rho=sim.inlet_rho,
+        outlet_rho=sim.outlet_rho, interpret=True)
+    _compare(sim.make_step(), pipe, sim.state)
+
+
+def test_pipelined_with_obstacle_matches_xla():
+    mask = np.zeros((32, 128), np.int32)
+    mask[10:20, 40:60] = 1
+    sim = _sim(obstacle_mask=mask)
+    import jax.numpy as jnp
+
+    pipe = make_pipelined_pipe_step(
+        ny=sim.ny, nx=sim.nx, omega=sim.omega, inlet_rho=sim.inlet_rho,
+        outlet_rho=sim.outlet_rho, has_obstacle=True, interpret=True)
+    mask_j = jnp.asarray(mask)
+    _compare(sim.make_step(), lambda f: pipe(f, mask_j), sim.state)
+
+
+def test_incompressible_pipelined_matches_xla():
+    sim = _sim(equilibrium="incompressible")
+    pipe = make_pipelined_pipe_step(
+        ny=sim.ny, nx=sim.nx, omega=sim.omega, inlet_rho=sim.inlet_rho,
+        outlet_rho=sim.outlet_rho, equilibrium="incompressible",
+        interpret=True)
+    _compare(sim.make_step(), pipe, sim.state)
+
+
+def test_temporal_kernel_matches_double_step():
+    sim = _sim(ny=96, nx=128)
+    from lb2d_tpu.ops.fused import make_temporal_pipe_step
+
+    t2 = make_temporal_pipe_step(
+        ny=sim.ny, nx=sim.nx, omega=sim.omega, inlet_rho=sim.inlet_rho,
+        outlet_rho=sim.outlet_rho, interpret=True)
+    step = sim.make_step()
+    _compare(lambda f: step(step(f)), t2, sim.state, n=2)
+
+
+def test_temporal_backend_odd_steps():
+    """backend='temporal' advances 2 steps/sweep; odd counts must use the
+    single-step remainder and match the XLA path exactly."""
+    a = _sim(ny=96, nx=128)
+    b = _sim(ny=96, nx=128)
+    b.backend = "temporal"
+    b._step = b.make_step()
+    import jax
+    from functools import partial
+    from lb2d_tpu.models.base import _run_loop
+    b._run_compiled = jax.jit(partial(_run_loop, b._step), donate_argnums=0)
+    a.run(5)
+    b.run(5)
+    assert b.steps_taken == 5
+    d = float(np.abs(np.asarray(a.state) - np.asarray(b.state)).max())
+    assert d < 1e-6, d
