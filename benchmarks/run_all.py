@@ -1,0 +1,120 @@
+"""Benchmark suite: the five BASELINE.json configs, one JSON line each.
+
+1. Dimensionless Poiseuille pipe flow, 32x256 (the reference's
+   python_cython_opencl_comparison workload shape).
+2. Obstacle channel flow with a bounce-back cylinder mask (cs205_movie).
+3. Scalar advection-diffusion (D2Q9_diffusion.cl equivalent).
+4. Multifield Fisher reaction-diffusion range expansion
+   (D2Q9_multifield_fisher.cl).
+5. Pipe flow at 8192^2 domain-decomposed over the available device mesh
+   (single chip: 1x1 mesh) — the porous+Poisson-coupled variant of this
+   config additionally exercises SimulationRunner (config 5b).
+
+Usage: python benchmarks/run_all.py [--quick]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(x):
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    float(jnp.sum(jnp.ravel(leaf)[:64].astype(jnp.float32)))
+
+
+def _measure(model, steps):
+    model.run(max(2, steps // 10))
+    _sync(model.state if hasattr(model, "state") else model.f)
+    t0 = time.perf_counter()
+    model.run(steps)
+    _sync(model.state if hasattr(model, "state") else model.f)
+    dt = time.perf_counter() - t0
+    return model.num_cells * steps / dt / 1e6
+
+
+def bench_poiseuille(quick):
+    from lb2d_tpu.models import PipeFlow
+
+    sim = PipeFlow(diameter=1.5, rho=10.0, viscosity=5.0,
+                   pressure_grad=-100.0, pipe_length=1.5 * 254.5 / 31,
+                   N=31)  # 32 rows x 256 cols
+    steps = 200 if quick else 5000
+    return "poiseuille 32x256", _measure(sim, steps), sim.backend
+
+
+def bench_obstacle(quick):
+    from lb2d_tpu.models import PipeFlowCylinder
+
+    D = 1.5
+    sim = PipeFlowCylinder(cylinder_center=(0.75, 0.75), cylinder_radius=D / 15,
+                           diameter=D, rho=10.0, viscosity=0.5,
+                           pressure_grad=-10.0, pipe_length=2 * D, N=127)
+    steps = 100 if quick else 2000
+    return f"obstacle channel {sim.nx}x{sim.ny}", _measure(sim, steps), sim.backend
+
+
+def bench_diffusion(quick):
+    from lb2d_tpu.models import AdvectionDiffusion
+
+    sim = AdvectionDiffusion(N=255, z=0.1, D=0.01, vx=1.0, vy=0.0, vc=1.0,
+                             Lx=0.2, Ly=0.2)
+    steps = 100 if quick else 2000
+    return f"advection-diffusion {sim.nx}x{sim.ny}", _measure(sim, steps), "xla"
+
+
+def bench_multifield(quick):
+    from lb2d_tpu.models import FisherExpansion
+
+    sim = FisherExpansion(Lx=8.0, Ly=8.0, mu_standard=1.0,
+                          mu_list=[1.0, 1.0], D_standard=1.0,
+                          D_list=[1.0, 1.0], N=64,
+                          initial_frac_widths=[0.5, 0.5],
+                          initial_frac_indices=[0, 1])
+    steps = 50 if quick else 1000
+    return f"multifield fisher {sim.nx}x{sim.ny}x2", _measure(sim, steps), "xla"
+
+
+def bench_sharded_8192(quick):
+    from lb2d_tpu.parallel.sharded import ShardedPipeFlow, make_mesh
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    size = 1024 if quick else 8192
+    N = size - 1
+    sim = ShardedPipeFlow(mesh=mesh, diameter=1.0, rho=1.0, viscosity=0.1,
+                          pressure_grad=-0.01,
+                          pipe_length=(size - 1.5) / N, N=N)
+    steps = 10 if quick else 100
+    sim.run(2)
+    _sync(sim.state)
+    t0 = time.perf_counter()
+    sim.run(steps)
+    _sync(sim.state)
+    dt = time.perf_counter() - t0
+    mlups = sim.num_cells * steps / dt / 1e6
+    return f"sharded {sim.ny}x{sim.nx} mesh={n_dev}dev", mlups, "shard_map"
+
+
+def main():
+    quick = "--quick" in sys.argv
+    for fn in (bench_poiseuille, bench_obstacle, bench_diffusion,
+               bench_multifield, bench_sharded_8192):
+        try:
+            name, mlups, backend = fn(quick)
+            print(json.dumps({"config": name, "mlups": round(mlups, 1),
+                              "backend": backend}), flush=True)
+        except Exception as e:  # keep the suite going
+            print(json.dumps({"config": fn.__name__,
+                              "error": str(e)[:200]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -5,6 +5,7 @@ from .diffusion import (
     ReactionAdvectionDiffusionStochastic,
     ReactionDiffusion,
 )
+from .lattice_units import LatticePipeFlow
 from .multicomponent import Fluid, SimulationRunner
 from .multifield import Expansion, FisherExpansion
 from .pipe_flow import (
@@ -27,7 +28,7 @@ from .waves import (
 __all__ = [
     # flow family
     "PipeFlow", "PipeFlowCylinder", "PipeFlowObstacles",
-    "PipeFlowVelocityInlet", "disk_mask",
+    "PipeFlowVelocityInlet", "disk_mask", "LatticePipeFlow",
     # diffusion family
     "Diffusion", "AdvectionDiffusion", "ReactionDiffusion",
     "ReactionAdvectionDiffusion", "ReactionAdvectionDiffusionStochastic",

@@ -1,0 +1,103 @@
+"""Lattice-units pipe-flow API (the reference's ``OLD`` module).
+
+Before the nondimensionalization layer, the reference drove simulations in
+raw lattice units: ``Pipe_Flow(omega, lx, ly, dr, dt, deltaP)``
+(``OLD/python.py:24-54``), with the Zou-He densities derived directly from
+the imposed pressure drop (``outlet_rho = deltaP/cs^2 + inlet_rho``,
+``OLD/python.py:38-39``) and a diagnostic ``update_dimensionless_nums``
+computing viscosity/Re/Ma from omega (``OLD/python.py:56-64``).
+
+:class:`LatticePipeFlow` reproduces that API on the modern step machinery
+(same fused kernels and backends as :class:`~lb2d_tpu.models.pipe_flow.
+PipeFlow`). The velocity-inlet and obstacle variants of the OLD module are
+covered by :class:`~lb2d_tpu.models.pipe_flow.PipeFlowVelocityInlet` and
+the ``obstacle_mask`` argument. Note the OLD module's update order
+(``move_bcs`` before the in-place ``move``, ``OLD/python.py``) differs from
+the notebook-verified OpenCL order; per SURVEY.md §7 we implement the
+verified order (stream -> BC) everywhere.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.lattice import D2Q9
+from .pipe_flow import PipeFlow
+
+__all__ = ["LatticePipeFlow"]
+
+
+class LatticePipeFlow(PipeFlow):
+    """``Pipe_Flow`` in raw lattice units (``OLD/python.py:24``)."""
+
+    def __init__(self, omega=0.99, lx=400, ly=400, dr=1.0, dt=1.0,
+                 deltaP=-0.1, equilibrium="compressible", obstacle_mask=None,
+                 seed=0, dtype=jnp.float32, backend="auto"):
+        self.lx, self.ly = int(lx), int(ly)
+        self.dr, self.dt_lattice, self.deltaP = dr, dt, deltaP
+        self._omega_in = float(omega)
+        # Bypass PipeFlow.__init__'s physical-units path entirely.
+        self.units = None
+        self.lattice = D2Q9
+        self.equilibrium = equilibrium
+        self.dtype = dtype
+        self.omega = float(omega)
+        assert self.omega < 2.0
+
+        self.nx, self.ny = self.lx + 1, self.ly + 1
+        # OLD/python.py:38-39: deltaP is negative
+        self.inlet_rho = 1.0
+        self.outlet_rho = deltaP / self.lattice.cs2 + self.inlet_rho
+
+        if obstacle_mask is not None:
+            obstacle_mask = jnp.asarray(np.asarray(obstacle_mask, dtype=bool))
+        self.obstacle_mask = obstacle_mask
+
+        import jax
+
+        from ..ops.fused import (
+            supports_fused,
+            supports_pipelined,
+            supports_temporal,
+        )
+
+        if backend == "auto":
+            on_tpu = jax.default_backend() == "tpu"
+            if not on_tpu:
+                backend = "xla"
+            elif obstacle_mask is None and supports_temporal(self.ny, self.nx):
+                backend = "temporal"
+            elif supports_pipelined(self.ny, self.nx):
+                backend = "pipelined"
+            elif supports_fused(self.ny, self.nx):
+                backend = "fused"
+            else:
+                backend = "xla"
+        self.backend = backend
+
+        self.state = self._init_state(np.random.RandomState(seed))
+        from .base import LBModel
+
+        LBModel.__init__(self)
+        self.update_dimensionless_nums()
+
+    def update_dimensionless_nums(self):
+        """Diagnostic viscosity / Re / Ma from omega
+        (``OLD/python.py:56-64``)."""
+        dr, dt = self.dr, self.dt_lattice
+        self.viscosity = (dr**2 / (3 * dt)) * (self.omega - 0.5)
+        rho, u, v = self._hydro_fn()(self.state)
+        U = float(jnp.max(jnp.sqrt(u * u + v * v)))
+        L = self.ly * dr
+        self.Re = U * L / self.viscosity if self.viscosity else float("inf")
+        self.Ma = (dr / (L * np.sqrt(3.0))) * (self.omega - 0.5) * self.Re
+        return self.viscosity, self.Re, self.Ma
+
+    # getters: lattice units only (the OLD API has no unit conversions)
+    def get_nondim_fields(self):
+        raise NotImplementedError(
+            "LatticePipeFlow is the lattice-units API (OLD module); use "
+            "PipeFlow for unit conversions")
+
+    get_physical_fields = get_nondim_fields

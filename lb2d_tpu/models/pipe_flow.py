@@ -185,7 +185,32 @@ class PipeFlow(LBModel):
             return self._make_kernel_step(make_pipelined_pipe_step)
         if backend == "fused":
             return self._make_kernel_step(make_fused_pipe_step)
+        # "native" uses the XLA step only for getters/remainders; its run()
+        # path goes through the C++ library (see run()).
         return self._make_xla_step()
+
+    def run(self, num_iterations, *, timed=False):
+        if getattr(self, "backend", "xla") != "native":
+            return super().run(num_iterations, timed=timed)
+        # C++ CPU backend (lb2d_tpu/native): the compiled-extension path,
+        # mirroring the reference's Cython backend role.
+        import time as _time
+
+        from ..native import native_run
+
+        t0 = _time.perf_counter() if timed else None
+        mask = (np.asarray(self.obstacle_mask).astype(np.int32)
+                if self.obstacle_mask is not None else None)
+        f = native_run(
+            np.asarray(self.state), num_iterations, omega=self.omega,
+            inlet_rho=self.inlet_rho, outlet_rho=self.outlet_rho,
+            incompressible=self.equilibrium == "incompressible", mask=mask)
+        self.state = jnp.asarray(f)
+        if timed:
+            dt = _time.perf_counter() - t0
+            self.last_mlups = self.num_cells * num_iterations / dt / 1e6
+        self.steps_taken += num_iterations
+        return self
 
     def _kernel_kwargs(self):
         return dict(

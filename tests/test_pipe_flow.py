@@ -154,3 +154,22 @@ def test_cylinder_runs_and_sheds_mass_sanely():
     # obstacle exists and covers the expected disk area
     mask = np.asarray(sim.obstacle_mask)
     assert mask.sum() > 0.9 * np.pi * sim.units.N**2
+
+
+def test_lattice_units_api():
+    """OLD-module lattice-units constructor (OLD/python.py:24-64)."""
+    from lb2d_tpu.models.lattice_units import LatticePipeFlow
+
+    sim = LatticePipeFlow(omega=0.99, lx=31, ly=15, deltaP=-0.001)
+    assert (sim.nx, sim.ny) == (32, 16)
+    assert sim.outlet_rho == pytest.approx(1.0 - 0.001 * 3.0)
+    sim.run(300)
+    fields = sim.get_fields()
+    assert np.isfinite(fields["u"]).all()
+    # pressure-driven flow develops in +x
+    assert fields["u"][2:-2, 2:-2].mean() > 0
+    visc, Re, Ma = sim.update_dimensionless_nums()
+    assert visc == pytest.approx((1.0 / 3.0) * (0.99 - 0.5))
+    assert Re > 0 and Ma > 0
+    with pytest.raises(NotImplementedError):
+        sim.get_nondim_fields()
