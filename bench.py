@@ -32,9 +32,9 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     steps_per_call = 1
-    if on_tpu and supports_temporal(ny, nx):
-        step = make_temporal_pipe_step(**kw)   # 2 LB steps per sweep
-        steps_per_call = 2
+    if on_tpu and supports_temporal(ny, nx, 8):
+        step = make_temporal_pipe_step(k_steps=8, **kw)  # 8 LB steps/sweep
+        steps_per_call = 8
     elif on_tpu and supports_pipelined(ny, nx):
         step = make_pipelined_pipe_step(**kw)
     else:
@@ -50,7 +50,7 @@ def main():
         # a device->host readback is the only reliable completion barrier.
         return float(jnp.sum(f[0, 0, :8]))
 
-    n_warm, n_meas = (10, 400) if on_tpu else (2, 4)
+    n_warm, n_meas = (5, 100) if on_tpu else (2, 4)
     f = run_n(sim.state, jnp.int32(n_warm))
     sync(f)
     t0 = time.perf_counter()

@@ -111,7 +111,8 @@ class PipeFlow(LBModel):
             on_tpu = jax.default_backend() == "tpu"
             if not (on_tpu and self._fused_capable()):
                 backend = "xla"
-            elif (obstacle_mask is None and supports_temporal(self.ny, self.nx)):
+            elif (obstacle_mask is None
+                  and supports_temporal(self.ny, self.nx, 6)):
                 backend = "temporal"
             elif supports_pipelined(self.ny, self.nx):
                 backend = "pipelined"
@@ -221,9 +222,10 @@ class PipeFlow(LBModel):
             interpret=jax.default_backend() != "tpu",
         )
 
-    def _make_temporal_step(self):
-        step2 = make_temporal_pipe_step(**self._kernel_kwargs())
-        self.steps_per_call = 2
+    def _make_temporal_step(self, k_steps=6):
+        step2 = make_temporal_pipe_step(k_steps=k_steps,
+                                        **self._kernel_kwargs())
+        self.steps_per_call = k_steps
         # remainder (odd iteration counts) runs one pipelined single step
         if supports_pipelined(self.ny, self.nx):
             self._single_step = make_pipelined_pipe_step(**self._kernel_kwargs())

@@ -702,16 +702,17 @@ def make_pipelined_pipe_step(
 # temporal-blocked kernel: TWO LB steps per HBM sweep
 # ---------------------------------------------------------------------------
 
-_T2_CH = 16      # chunk height for the 2-step kernel
+_T2_CH = 16      # chunk height for the K-step kernel
 _T2_NS = 5       # step-0 input ring depth
-_T2_NM = 4       # step-1 intermediate ring depth
+_T2_NM = 4       # intermediate ring depth (per internal step)
 _T2_NO = 2       # output ring depth
 
 
-def supports_temporal(ny: int, nx: int) -> bool:
-    """2-step temporal blocking needs >= 6 aligned chunks and 128-lane rows."""
+def supports_temporal(ny: int, nx: int, k_steps: int = 2) -> bool:
+    """K-step temporal blocking needs enough aligned chunks and 128-lane
+    rows."""
     return (nx % 128 == 0 and ny % _T2_CH == 0
-            and ny // _T2_CH >= max(_T2_NS, 6))
+            and ny // _T2_CH >= max(_T2_NS, 3 + k_steps))
 
 
 def make_temporal_pipe_step(
@@ -725,25 +726,27 @@ def make_temporal_pipe_step(
     lattice: Lattice = D2Q9,
     dtype=jnp.float32,
     interpret: bool = False,
+    k_steps: int = 2,
 ):
-    """Build ``step2(f) -> f`` advancing TWO LB steps in one HBM sweep.
+    """Build ``stepK(f) -> f`` advancing ``k_steps`` LB steps per HBM sweep.
 
-    Classic temporal blocking: the sweep keeps a second VMEM ring of
-    *step-1* chunks; step-2 output chunk ``c`` is computed from step-1
-    chunks ``c-1, c, c+1``, which were themselves computed from input chunks
-    read exactly once. HBM traffic per *LB step* is therefore halved to one
-    read + one write per TWO steps — below the single-step traffic minimum —
-    at the cost of ~2x the (otherwise idle) VPU work. The loop is skewed
-    (iteration k runs stage-1 on chunk k and stage-2 on chunk k-1) so each
-    stage is instantiated exactly once, keeping Mosaic compile time sane.
+    Classic temporal blocking: the sweep keeps ``k_steps - 1`` extra VMEM
+    rings of intermediate-step chunks; the step-(s+1) chunk ``c`` is computed
+    from step-s chunks ``c-1, c, c+1``. Input chunks are read exactly once,
+    so HBM traffic per *LB step* is ``2 / k_steps`` passes — below the
+    single-step minimum — trading (otherwise idle) VPU work. The loop is
+    skewed: iteration ``k`` runs stage ``s`` on chunk ``k - s``, so each
+    stage is instantiated exactly once (Mosaic compile time stays sane).
 
     Each internal step applies the full stream -> Zou-He -> moments -> feq
-    -> collide pipeline, so ``step2 == step o step`` of the XLA oracle to
-    fp32 roundoff. Obstacle masks are not supported on this path (the
-    single-step pipelined kernel handles them).
+    -> collide pipeline, so ``stepK == step^k`` of the XLA oracle to fp32
+    roundoff. Obstacle masks are not supported on this path (the single-step
+    pipelined kernel handles them).
     """
     CH = _T2_CH
-    if not supports_temporal(ny, nx):
+    K = int(k_steps)
+    assert K >= 2
+    if not supports_temporal(ny, nx, K):
         raise ValueError(f"no temporal tiling for grid {ny}x{nx}")
     C = ny // CH
     q = lattice.q
@@ -752,7 +755,13 @@ def make_temporal_pipe_step(
     w_outlet = np.asarray(outlet_rho, dtype)
     w_omega = np.asarray(omega, dtype)
 
-    def kernel(f_hbm, out_hbm, in_ring, mid_ring, out_ring, sem_in, sem_out):
+    def kernel(*refs):
+        f_hbm, out_hbm = refs[:2]
+        in_ring = refs[2]
+        mids = refs[3:3 + (K - 1)]
+        out_ring = refs[3 + (K - 1)]
+        sem_in, sem_out = refs[4 + (K - 1):]
+
         laneid = jax.lax.broadcasted_iota(jnp.int32, (CH, nx), 1)
         rowid0 = jax.lax.broadcasted_iota(jnp.int32, (CH, nx), 0)
 
@@ -802,7 +811,7 @@ def make_temporal_pipe_step(
         load(2).start()
 
         def body(k, _):
-            # stage 1 on chunk k (needs input chunks k-1, k, k+1)
+            # stage 0 (from input) on chunk k
             @pl.when(k == 0)
             def _():
                 load(0).wait()
@@ -815,18 +824,27 @@ def make_temporal_pipe_step(
             def _():
                 res = chunk_step(in_ring, _T2_NS, k)
                 for j in range(q):
-                    mid_ring[k % _T2_NM, j, :, :] = res[j]
+                    mids[0][k % _T2_NM, j, :, :] = res[j]
 
-            # stage 2 on chunk k-1 (needs step-1 chunks k-2, k-1, k)
-            @pl.when(k >= 1)
+            # intermediate stages s = 1..K-2 on chunk k - s
+            for s in range(1, K - 1):
+                @pl.when((k >= s) & (k - s < C))
+                def _(s=s):
+                    c = k - s
+                    res = chunk_step(mids[s - 1], _T2_NM, c)
+                    for j in range(q):
+                        mids[s][c % _T2_NM, j, :, :] = res[j]
+
+            # final stage on chunk k - (K-1)
+            @pl.when(k >= K - 1)
             def _():
-                c = k - 1
+                c = k - (K - 1)
 
                 @pl.when(c >= _T2_NO)
                 def _():
                     store(c - _T2_NO).wait()
 
-                res = chunk_step(mid_ring, _T2_NM, c)
+                res = chunk_step(mids[K - 2], _T2_NM, c)
                 for j in range(q):
                     out_ring[c % _T2_NO, j, :, :] = res[j]
                 store(c).start()
@@ -837,34 +855,36 @@ def make_temporal_pipe_step(
                 load(k + 3).start()
             return 0
 
-        jax.lax.fori_loop(0, C + 1, body, 0)
+        jax.lax.fori_loop(0, C + K - 1, body, 0)
         store(C - 2).wait()
         store(C - 1).wait()
+
+    scratch = [pltpu.VMEM((_T2_NS, q, CH, nx), dtype)]
+    scratch += [pltpu.VMEM((_T2_NM, q, CH, nx), dtype) for _ in range(K - 1)]
+    scratch += [
+        pltpu.VMEM((_T2_NO, q, CH, nx), dtype),
+        pltpu.SemaphoreType.DMA((_T2_NS,)),
+        pltpu.SemaphoreType.DMA((_T2_NO,)),
+    ]
 
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((q, ny, nx), dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((_T2_NS, q, CH, nx), dtype),
-            pltpu.VMEM((_T2_NM, q, CH, nx), dtype),
-            pltpu.VMEM((_T2_NO, q, CH, nx), dtype),
-            pltpu.SemaphoreType.DMA((_T2_NS,)),
-            pltpu.SemaphoreType.DMA((_T2_NO,)),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=440 * ny * nx,
+            flops=220 * K * ny * nx,
             bytes_accessed=2 * q * ny * nx * 4,
             transcendentals=0,
         ),
     )
 
-    def step2(f):
+    def stepK(f):
         return call(f)
 
-    return step2
+    return stepK

@@ -80,30 +80,39 @@ def test_incompressible_pipelined_matches_xla():
     _compare(sim.make_step(), pipe, sim.state)
 
 
-def test_temporal_kernel_matches_double_step():
-    sim = _sim(ny=96, nx=128)
+@pytest.mark.parametrize("K", [2, 3, 4])
+def test_temporal_kernel_matches_k_steps(K):
+    sim = _sim(ny=128, nx=128)
     from lb2d_tpu.ops.fused import make_temporal_pipe_step
 
-    t2 = make_temporal_pipe_step(
+    tK = make_temporal_pipe_step(
         ny=sim.ny, nx=sim.nx, omega=sim.omega, inlet_rho=sim.inlet_rho,
-        outlet_rho=sim.outlet_rho, interpret=True)
+        outlet_rho=sim.outlet_rho, interpret=True, k_steps=K)
     step = sim.make_step()
-    _compare(lambda f: step(step(f)), t2, sim.state, n=2)
+
+    def k_xla(f):
+        for _ in range(K):
+            f = step(f)
+        return f
+
+    _compare(k_xla, tK, sim.state, n=2)
 
 
 def test_temporal_backend_odd_steps():
-    """backend='temporal' advances 2 steps/sweep; odd counts must use the
-    single-step remainder and match the XLA path exactly."""
-    a = _sim(ny=96, nx=128)
-    b = _sim(ny=96, nx=128)
+    """backend='temporal' advances k_steps (default 6) per sweep; counts that
+    are not multiples must use the single-step remainder and match the XLA
+    path exactly."""
+    a = _sim(ny=160, nx=128)
+    b = _sim(ny=160, nx=128)
     b.backend = "temporal"
     b._step = b.make_step()
     import jax
     from functools import partial
     from lb2d_tpu.models.base import _run_loop
     b._run_compiled = jax.jit(partial(_run_loop, b._step), donate_argnums=0)
-    a.run(5)
-    b.run(5)
-    assert b.steps_taken == 5
+    assert b.steps_per_call == 6
+    a.run(8)   # one sweep of 6 + 2 single-step remainders
+    b.run(8)
+    assert b.steps_taken == 8
     d = float(np.abs(np.asarray(a.state) - np.asarray(b.state)).max())
     assert d < 1e-6, d
