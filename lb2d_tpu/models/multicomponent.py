@@ -473,6 +473,28 @@ class SimulationRunner:
             f = coll(f, rho)
         return f
 
+    # ---- sharding --------------------------------------------------------------
+    def shard_over(self, mesh):
+        """Domain-decompose the state over a ``("y", "x")`` device mesh.
+
+        The step is pure jnp (rolls, elementwise, reductions), so GSPMD
+        partitions it automatically once the state carries a
+        ``NamedSharding`` — rolls become halo ``collective-permute``s and the
+        barycentric reductions stay shard-local. This is the scaling path for
+        the 8192^2 porous workload (BASELINE.json config 5).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        s4 = NamedSharding(mesh, P(None, None, "y", "x"))
+        s3 = NamedSharding(mesh, P(None, "y", "x"))
+        s2 = NamedSharding(mesh, P("y", "x"))
+        self.f = jax.device_put(self.f, s4)
+        self.rho = jax.device_put(self.rho, s3)
+        self.u_bary = jax.device_put(self.u_bary, s2)
+        self.v_bary = jax.device_put(self.v_bary, s2)
+        self._run_jit = None  # re-jit against the sharded state
+        return self
+
     # ---- execution -----------------------------------------------------------
     def run(self, num_iterations, debug=False):
         if self._run_jit is None:
