@@ -53,10 +53,19 @@ def bench_poiseuille(quick):
 def bench_obstacle(quick):
     from lb2d_tpu.models import PipeFlowCylinder
 
-    D = 1.5
-    sim = PipeFlowCylinder(cylinder_center=(0.75, 0.75), cylinder_radius=D / 15,
-                           diameter=D, rho=10.0, viscosity=0.5,
-                           pressure_grad=-10.0, pipe_length=2 * D, N=127)
+    # grid aligned for the fused kernels: L = r = D/15, N = 85 ->
+    # ly = ceil(15*85) = 1275... pick explicit sizes instead via
+    # PipeFlowObstacles-style mask on an aligned PipeFlow grid.
+    from lb2d_tpu.models import PipeFlowObstacles, disk_mask
+    import numpy as _np
+
+    ny, nx = 1024, 2048
+    mask = disk_mask(nx, ny, cx=nx // 4, cy=ny // 2, radius=ny // 12)
+    sim = PipeFlowObstacles(obstacle_mask=mask, diameter=1.5, rho=10.0,
+                            viscosity=0.5, pressure_grad=-10.0,
+                            pipe_length=1.5 * (nx - 1.5) / (ny - 1),
+                            N=ny - 1)
+    assert (sim.ny, sim.nx) == (ny, nx), (sim.ny, sim.nx)
     steps = 100 if quick else 2000
     return f"obstacle channel {sim.nx}x{sim.ny}", _measure(sim, steps), sim.backend
 
