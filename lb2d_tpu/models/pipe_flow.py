@@ -111,8 +111,7 @@ class PipeFlow(LBModel):
             on_tpu = jax.default_backend() == "tpu"
             if not (on_tpu and self._fused_capable()):
                 backend = "xla"
-            elif (obstacle_mask is None
-                  and supports_temporal(self.ny, self.nx, 6)):
+            elif supports_temporal(self.ny, self.nx, 6):
                 backend = "temporal"
             elif supports_pipelined(self.ny, self.nx):
                 backend = "pipelined"
@@ -223,15 +222,25 @@ class PipeFlow(LBModel):
         )
 
     def _make_temporal_step(self, k_steps=6):
-        step2 = make_temporal_pipe_step(k_steps=k_steps,
+        has_obstacle = self.obstacle_mask is not None
+        stepK = make_temporal_pipe_step(k_steps=k_steps,
+                                        has_obstacle=has_obstacle,
                                         **self._kernel_kwargs())
         self.steps_per_call = k_steps
-        # remainder (odd iteration counts) runs one pipelined single step
+        # remainder (iteration counts % k_steps) runs single steps
         if supports_pipelined(self.ny, self.nx):
-            self._single_step = make_pipelined_pipe_step(**self._kernel_kwargs())
+            single = make_pipelined_pipe_step(has_obstacle=has_obstacle,
+                                              **self._kernel_kwargs())
         else:
-            self._single_step = self._make_xla_step()
-        return step2
+            single = self._make_xla_step()
+        if has_obstacle:
+            mask = self.obstacle_mask.astype(jnp.int32)
+            self._single_step = (
+                (lambda f: single(f, mask))
+                if supports_pipelined(self.ny, self.nx) else single)
+            return lambda f: stepK(f, mask)
+        self._single_step = single
+        return stepK
 
     def _make_kernel_step(self, maker):
         fused = maker(

@@ -723,6 +723,7 @@ def make_temporal_pipe_step(
     inlet_rho: float,
     outlet_rho: float,
     equilibrium: str = "compressible",
+    has_obstacle: bool = False,
     lattice: Lattice = D2Q9,
     dtype=jnp.float32,
     interpret: bool = False,
@@ -738,10 +739,11 @@ def make_temporal_pipe_step(
     skewed: iteration ``k`` runs stage ``s`` on chunk ``k - s``, so each
     stage is instantiated exactly once (Mosaic compile time stays sane).
 
-    Each internal step applies the full stream -> Zou-He -> moments -> feq
-    -> collide pipeline, so ``stepK == step^k`` of the XLA oracle to fp32
-    roundoff. Obstacle masks are not supported on this path (the single-step
-    pipelined kernel handles them).
+    Each internal step applies the full stream -> Zou-He -> [bounce-back]
+    -> moments -> feq -> collide pipeline, so ``stepK == step^k`` of the XLA
+    oracle to fp32 roundoff. With ``has_obstacle`` the (constant) mask is
+    streamed once per sweep through its own ring, deep enough that every
+    internal stage finds its chunk resident.
     """
     CH = _T2_CH
     K = int(k_steps)
@@ -755,12 +757,24 @@ def make_temporal_pipe_step(
     w_outlet = np.asarray(outlet_rho, dtype)
     w_omega = np.asarray(omega, dtype)
 
+    MR = K + 3  # mask ring depth: chunk c is read by stages at iters c..c+K-1
+
     def kernel(*refs):
-        f_hbm, out_hbm = refs[:2]
-        in_ring = refs[2]
-        mids = refs[3:3 + (K - 1)]
-        out_ring = refs[3 + (K - 1)]
-        sem_in, sem_out = refs[4 + (K - 1):]
+        if has_obstacle:
+            f_hbm, mask_hbm, out_hbm = refs[:3]
+            rest = refs[3:]
+        else:
+            f_hbm, out_hbm = refs[:2]
+            mask_hbm = None
+            rest = refs[2:]
+        in_ring = rest[0]
+        mids = rest[1:1 + (K - 1)]
+        out_ring = rest[1 + (K - 1)]
+        if has_obstacle:
+            mask_ring = rest[2 + (K - 1)]
+            sem_in, sem_out, sem_mask = rest[3 + (K - 1):]
+        else:
+            sem_in, sem_out = rest[2 + (K - 1):]
 
         laneid = jax.lax.broadcasted_iota(jnp.int32, (CH, nx), 1)
         rowid0 = jax.lax.broadcasted_iota(jnp.int32, (CH, nx), 0)
@@ -775,6 +789,11 @@ def make_temporal_pipe_step(
                 out_ring.at[c % _T2_NO],
                 out_hbm.at[:, pl.ds(pl.multiple_of(c * CH, CH), CH), :],
                 sem_out.at[c % _T2_NO])
+
+        def load_mask(c):
+            return pltpu.make_async_copy(
+                mask_hbm.at[pl.ds(pl.multiple_of(c * CH, CH), CH), :],
+                mask_ring.at[c % MR], sem_mask.at[c % MR])
 
         def chunk_step(ring, depth, k):
             """One LB step for chunk k, stream halos from ring chunks
@@ -802,13 +821,17 @@ def make_temporal_pipe_step(
                                       w_outlet, incompressible)
             st = _walls_corners_tile(st, rowid, laneid, ny, nx, w_inlet,
                                      w_outlet)
-            return _moments_feq_collide(st, None, w_omega, lattice,
-                                        incompressible, False)
+            mask = (mask_ring[k % MR] != 0) if has_obstacle else None
+            return _moments_feq_collide(st, mask, w_omega, lattice,
+                                        incompressible,
+                                        zero_vel_in_obstacle=incompressible)
 
         # prologue: three loads in flight
         load(0).start()
         load(1).start()
         load(2).start()
+        if has_obstacle:
+            load_mask(0).start()
 
         def body(k, _):
             # stage 0 (from input) on chunk k
@@ -819,6 +842,17 @@ def make_temporal_pipe_step(
             @pl.when(k + 1 < C)
             def _():
                 load(k + 1).wait()
+
+            if has_obstacle:
+                # mask chunk k arrives before stage 0 uses it; chunk k+1
+                # prefetched (ring depth K+3 > stage span K)
+                @pl.when(k < C)
+                def _():
+                    load_mask(k).wait()
+
+                @pl.when(k + 1 < C)
+                def _():
+                    load_mask(k + 1).start()
 
             @pl.when(k < C)
             def _():
@@ -861,16 +895,20 @@ def make_temporal_pipe_step(
 
     scratch = [pltpu.VMEM((_T2_NS, q, CH, nx), dtype)]
     scratch += [pltpu.VMEM((_T2_NM, q, CH, nx), dtype) for _ in range(K - 1)]
+    scratch += [pltpu.VMEM((_T2_NO, q, CH, nx), dtype)]
+    if has_obstacle:
+        scratch += [pltpu.VMEM((K + 3, CH, nx), jnp.int32)]
     scratch += [
-        pltpu.VMEM((_T2_NO, q, CH, nx), dtype),
         pltpu.SemaphoreType.DMA((_T2_NS,)),
         pltpu.SemaphoreType.DMA((_T2_NO,)),
     ]
+    if has_obstacle:
+        scratch += [pltpu.SemaphoreType.DMA((K + 3,))]
 
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((q, ny, nx), dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (2 if has_obstacle else 1),
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=scratch,
         interpret=interpret,
@@ -884,7 +922,11 @@ def make_temporal_pipe_step(
         ),
     )
 
-    def stepK(f):
-        return call(f)
+    if has_obstacle:
+        def stepK(f, mask):
+            return call(f, mask)
+    else:
+        def stepK(f):
+            return call(f)
 
     return stepK

@@ -116,3 +116,25 @@ def test_temporal_backend_odd_steps():
     assert b.steps_taken == 8
     d = float(np.abs(np.asarray(a.state) - np.asarray(b.state)).max())
     assert d < 1e-6, d
+
+
+def test_temporal_obstacle_matches_xla():
+    mask = np.zeros((160, 128), np.int32)
+    mask[60:90, 40:70] = 1
+    sim = _sim(ny=160, nx=128, obstacle_mask=mask)
+    import jax.numpy as jnp
+    from lb2d_tpu.ops.fused import make_temporal_pipe_step
+
+    t3 = make_temporal_pipe_step(
+        ny=sim.ny, nx=sim.nx, omega=sim.omega, inlet_rho=sim.inlet_rho,
+        outlet_rho=sim.outlet_rho, has_obstacle=True, interpret=True,
+        k_steps=3)
+    mask_j = jnp.asarray(mask)
+    step = sim.make_step()
+
+    def k_xla(f):
+        for _ in range(3):
+            f = step(f)
+        return f
+
+    _compare(k_xla, lambda f: t3(f, mask_j), sim.state, n=2)
