@@ -73,10 +73,11 @@ def bench_obstacle(quick):
 def bench_diffusion(quick):
     from lb2d_tpu.models import AdvectionDiffusion
 
-    sim = AdvectionDiffusion(N=255, z=0.1, D=0.01, vx=1.0, vy=0.0, vc=1.0,
-                             Lx=0.2, Ly=0.2)
+    sim = AdvectionDiffusion(N=341, z=0.1, D=0.005, vx=1.0, vy=0.0, vc=1.0,
+                             Lx=0.61, Ly=0.61)  # 2048^2, kernel-aligned
     steps = 100 if quick else 2000
-    return f"advection-diffusion {sim.nx}x{sim.ny}", _measure(sim, steps), "xla"
+    backend = "temporal" if getattr(sim, "steps_per_call", 1) > 1 else "xla"
+    return f"advection-diffusion {sim.nx}x{sim.ny}", _measure(sim, steps), backend
 
 
 def bench_multifield(quick):

@@ -122,7 +122,62 @@ class Diffusion(LBModel):
     def _source(self, rho):
         return None  # no reaction
 
+    def _lb_G(self):
+        return 0.0  # no reaction
+
     def make_step(self):
+        # deterministic members of the family (constant imposed velocity,
+        # constant growth rate) can run the fused temporal kernel on TPU
+        from ..ops.fused import make_temporal_pipe_step, supports_temporal
+
+        use_kernel = (jax.default_backend() == "tpu"
+                      and supports_temporal(self.ny, self.nx, 4)
+                      and self.ny >= 24 * 4)
+        if use_kernel:
+            return self._make_temporal_step(4, make_temporal_pipe_step)
+        return self._make_xla_step()
+
+    def _make_temporal_step(self, K, make_temporal_pipe_step,
+                            interpret=None):
+        """Temporal-blocked kernel + seam patch.
+
+        The diffusion domain is fully periodic, so the K-step sweep's wrap
+        seam (rows within K-1 of y = 0) sees garbage/stale halos the flow
+        kernel's walls would have rewritten. Fix: recompute a 6K-row band
+        around the seam with K plain XLA steps on a wrapped slice (its
+        central rows are exact — the influence cone grows one row per step)
+        and splice the affected 2(K-1) rows back in. Band cost: 6K rows of
+        ny — negligible.
+        """
+        import jax as _jax
+
+        kw = {} if interpret is None else {"interpret": interpret}
+        kernel = make_temporal_pipe_step(
+            ny=self.ny, nx=self.nx, omega=float(self.omega),
+            physics="diffusion", u_lb=float(np.asarray(self.u).ravel()[0]),
+            v_lb=float(np.asarray(self.v).ravel()[0]),
+            lb_G=float(self._lb_G()), k_steps=K, dtype=self.dtype, **kw)
+        xla_step = self._make_xla_step()
+        B = 3 * K
+        band_idx = jnp.asarray(np.arange(-B, B) % self.ny)
+        # garbage/stale halos contaminate one row per internal stage on each
+        # side of the seam: rows [-K, K) need the patch
+        patch_rows = jnp.asarray(np.arange(-K, K) % self.ny)
+
+        def stepK(f):
+            out = kernel(f)
+            band = f[:, band_idx, :]
+            for _ in range(K):
+                band = xla_step(band)
+            out = out.at[:, patch_rows, :].set(
+                band[:, B - K:B + K, :])
+            return out
+
+        self.steps_per_call = K
+        self._single_step = xla_step
+        return stepK
+
+    def _make_xla_step(self):
         u, v = self.u, self.v
         omega = jnp.asarray(self.omega, self.dtype)
         w = jnp.asarray(self.lattice.w_np(np.float32), self.dtype)[:, None, None]
@@ -213,6 +268,9 @@ class ReactionDiffusion(Diffusion):
         G = jnp.asarray(self.G, self.dtype)
         return G * rho * (1.0 - rho)
 
+    def _lb_G(self):
+        return self.G
+
 
 class ReactionAdvectionDiffusion(AdvectionDiffusion):
     """Fisher wave advected by a uniform flow (``diffusion.py:521-553``);
@@ -232,6 +290,9 @@ class ReactionAdvectionDiffusion(AdvectionDiffusion):
     def _source(self, rho):
         G = jnp.asarray(self.G, self.dtype)
         return G * rho * (1.0 - rho)
+
+    def _lb_G(self):
+        return self.G
 
 
 class ReactionAdvectionDiffusionStochastic(ReactionAdvectionDiffusion):

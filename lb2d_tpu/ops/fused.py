@@ -245,6 +245,29 @@ def _moments_feq_collide_generic(st, omega, lattice, incompressible):
     return out
 
 
+def _diffusion_collide(st, omega, u_lb, v_lb, lb_G, lattice):
+    """Linear-feq BGK for the advection-diffusion family with an imposed
+    constant velocity and optional Fisher source (``D2Q9_diffusion.cl:1-38,
+    95-124``): ``feq_j = w_j rho (1 + c.u/cs2)``,
+    ``f' = f(1-w) + w feq + w_j G rho (1 - rho)``."""
+    q = lattice.q
+    cs2 = lattice.cs2
+    rho = st[0]
+    for j in range(1, q):
+        rho = rho + st[j]
+    A = 1.0 - omega
+    react = lb_G * rho * (1.0 - rho) if lb_G else None
+    out = []
+    for j in range(q):
+        cu = lattice.cx[j] * u_lb + lattice.cy[j] * v_lb
+        coef = lattice.w[j] * (1.0 + cu / cs2)
+        f_new = st[j] * A + (omega * coef) * rho
+        if react is not None:
+            f_new = f_new + lattice.w[j] * react
+        out.append(f_new)
+    return out
+
+
 def _lane_roll(arr, shift, nx):
     if shift:
         return pltpu.roll(arr, shift % nx, axis=1)
@@ -720,14 +743,18 @@ def make_temporal_pipe_step(
     ny: int,
     nx: int,
     omega: float,
-    inlet_rho: float,
-    outlet_rho: float,
+    inlet_rho: float = 1.0,
+    outlet_rho: float = 1.0,
     equilibrium: str = "compressible",
     has_obstacle: bool = False,
     lattice: Lattice = D2Q9,
     dtype=jnp.float32,
     interpret: bool = False,
     k_steps: int = 2,
+    physics: str = "flow",
+    u_lb: float = 0.0,
+    v_lb: float = 0.0,
+    lb_G: float = 0.0,
 ):
     """Build ``stepK(f) -> f`` advancing ``k_steps`` LB steps per HBM sweep.
 
@@ -753,9 +780,13 @@ def make_temporal_pipe_step(
     C = ny // CH
     q = lattice.q
     incompressible = equilibrium == "incompressible"
+    diffusion = physics == "diffusion"
     w_inlet = np.asarray(inlet_rho, dtype)
     w_outlet = np.asarray(outlet_rho, dtype)
     w_omega = np.asarray(omega, dtype)
+    w_ulb = np.asarray(u_lb, dtype)
+    w_vlb = np.asarray(v_lb, dtype)
+    w_G = np.asarray(lb_G, dtype)
 
     MR = K + 3  # mask ring depth: chunk c is read by stages at iters c..c+K-1
 
@@ -816,6 +847,10 @@ def make_temporal_pipe_step(
                 else:
                     rows = ring[cur, j, :, :]
                 st.append(_lane_roll(rows, cxj, nx))
+            if diffusion:
+                # periodic domain, no BCs (diffusion.py:326-331)
+                return _diffusion_collide(st, w_omega, w_ulb, w_vlb,
+                                          w_G if lb_G else 0.0, lattice)
             rowid = rowid0 + k * CH
             st = _zou_he_inout_narrow(st, rowid, laneid, ny, nx, w_inlet,
                                       w_outlet, incompressible)

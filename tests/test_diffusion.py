@@ -107,3 +107,22 @@ def test_stochastic_runs_nonnegative():
         Lx=0.3, Ly=0.3, rng_seed=123)
     sim2.run(200)
     assert not np.allclose(np.asarray(f), np.asarray(sim2.state[0]))
+
+
+def test_diffusion_temporal_kernel_parity():
+    """The K-step temporal kernel + periodic seam patch equals K XLA steps."""
+    from lb2d_tpu.ops.fused import make_temporal_pipe_step
+
+    sim = ReactionAdvectionDiffusion(N=42, g=5.0, z=0.1, D=0.01, vx=1.0,
+                                     vy=0.5, vc=1.0, Lx=0.31, Ly=0.31)
+    assert (sim.ny, sim.nx) == (128, 128)
+    stepK = sim._make_temporal_step(4, make_temporal_pipe_step,
+                                    interpret=True)
+    step = sim._make_xla_step()
+    a = b = sim.state
+    for _ in range(2):
+        for _ in range(4):
+            a = step(a)
+        b = stepK(b)
+    d = float(np.abs(np.asarray(a) - np.asarray(b)).max())
+    assert d < 1e-6, d
