@@ -8,6 +8,11 @@ profile against ``(dP/dx / 2 rho nu) y (y - D)`` and plot RMS error vs N.
 Usage: python examples/poiseuille_verification.py [out.png]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 
 import numpy as np

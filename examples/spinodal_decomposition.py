@@ -6,6 +6,11 @@ mutually repelling fluids demix from a noisy mixture into domains.
 Usage: python examples/spinodal_decomposition.py [out.png]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 
 import numpy as np

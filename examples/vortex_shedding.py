@@ -10,6 +10,11 @@ Usage: python examples/vortex_shedding.py [outdir] [num_frames]
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import os
+import sys
+
 import numpy as np
 
 from lb2d_tpu.models import PipeFlowCylinder
@@ -35,8 +40,7 @@ def main(outdir="vortex_frames", num_frames=20):
 
     for k in range(int(num_frames)):
         frame = anim.frame()
-        plt.imsave(os.path.join(outdir, f"frame_{k:04d}.png"),
-                   np.swapaxes(frame, 0, 1))
+        plt.imsave(os.path.join(outdir, f"frame_{k:04d}.png"), frame)
     print(f"wrote {num_frames} frames to {outdir}/ "
           f"({sim.steps_taken} steps, {sim.last_mlups or 0:.0f} MLUPS last)")
 

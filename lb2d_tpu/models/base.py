@@ -85,6 +85,13 @@ class LBModel:
         jax.block_until_ready(self.state)
         return self
 
+    # -- device-side field access (for rendering without host round-trips) ----
+    def device_field(self, name):
+        """Return one 2-D field as a device array [ny, nx], or None if the
+        model doesn't support device-side extraction (renderer falls back to
+        ``get_fields``)."""
+        return None
+
     # -- helpers ---------------------------------------------------------------
     @staticmethod
     def _to_host_xy(arr) -> np.ndarray:

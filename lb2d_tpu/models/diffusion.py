@@ -195,6 +195,11 @@ class Diffusion(LBModel):
 
         return step
 
+    def device_field(self, name):
+        if name == "rho":
+            return density(self.state)
+        return None
+
     # -- getters (diffusion.py:385-432) ---------------------------------------
     def get_fields(self):
         f = self.state

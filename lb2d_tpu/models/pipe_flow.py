@@ -280,6 +280,11 @@ class PipeFlow(LBModel):
 
         return step
 
+    def device_field(self, name):
+        f = self.state
+        rho, u, v = self._hydro_fn()(f)
+        return {"rho": rho, "u": u, "v": v}.get(name)
+
     # --- field access (opencl_dim.py:390-438) ------------------------------------
     def get_fields(self) -> dict:
         """All fields in LB units, as numpy arrays indexed ``[x, y]``

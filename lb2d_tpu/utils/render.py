@@ -60,19 +60,24 @@ class FieldAnimator:
         self.clim = clim
         self._lut = jnp.asarray(colormap_lut(cmap))
         self._render = jax.jit(
-            lambda f: render_field(f, clim=self.clim, lut=self._lut)
-        ) if clim is not None else None
+            lambda f: render_field(f, clim=self.clim, lut=self._lut))
 
     def frame(self) -> np.ndarray:
-        """Advance and return the next frame as a host uint8 array."""
+        """Advance and return the next frame as a host uint8 array.
+
+        When the model supports device-side field extraction, the whole
+        sim->colormap pipeline stays on device and only the uint8 image
+        crosses to the host (the reference round-trips the full float field
+        every frame, ``field_visualizer.py:146-157``)."""
         self.model.run(self.steps_per_frame)
-        field = jnp.asarray(self.model.get_fields()[self.field])
-        if field.ndim == 3:  # multifield: show field 0
-            field = field[..., 0]
-        if self._render is not None:
-            img = self._render(field)
-        else:
-            img = render_field(field, clim=self.clim, lut=self._lut)
+        field = None
+        if hasattr(self.model, "device_field"):
+            field = self.model.device_field(self.field)
+        if field is None:
+            field = jnp.asarray(self.model.get_fields()[self.field])
+            if field.ndim == 3:  # reference layout [nx, ny, F]: show field 0
+                field = field[..., 0].T
+        img = self._render(field)
         return np.asarray(img)
 
     def save_png(self, path: str) -> None:
