@@ -103,3 +103,11 @@ def test_matmul_dft_matches_fft():
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+
+def test_time_steps_profiling():
+    from lb2d_tpu.utils.profiling import time_steps
+
+    sim = PipeFlow(**PARAMS)
+    res = time_steps(sim, num_steps=10, repeats=2)
+    assert len(res) == 2 and all(r["mlups"] > 0 for r in res)
