@@ -83,13 +83,14 @@ def bench_diffusion(quick):
 def bench_multifield(quick):
     from lb2d_tpu.models import FisherExpansion
 
-    sim = FisherExpansion(Lx=8.0, Ly=8.0, mu_standard=1.0,
+    sim = FisherExpansion(Lx=4.1, Ly=4.1, mu_standard=1.0,
                           mu_list=[1.0, 1.0], D_standard=1.0,
-                          D_list=[1.0, 1.0], N=64,
+                          D_list=[1.0, 1.0], N=1023,  # 2048^2, aligned
                           initial_frac_widths=[0.5, 0.5],
                           initial_frac_indices=[0, 1])
     steps = 50 if quick else 1000
-    return f"multifield fisher {sim.nx}x{sim.ny}x2", _measure(sim, steps), "xla"
+    backend = "temporal" if getattr(sim, "steps_per_call", 1) > 1 else "xla"
+    return f"multifield fisher {sim.nx}x{sim.ny}x2", _measure(sim, steps), backend
 
 
 def bench_sharded_8192(quick):

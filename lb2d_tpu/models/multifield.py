@@ -236,6 +236,18 @@ class FisherExpansion(_MultifieldBase):
         return f
 
     def make_step(self):
+        from ..ops.fused import (
+            make_temporal_multifield_step,
+            supports_temporal_multifield,
+        )
+
+        if (jax.default_backend() == "tpu"
+                and supports_temporal_multifield(
+                    self.ny, self.nx, self.num_populations, 2)):
+            return self._make_temporal_step(2, interpret=False)
+        return self._make_xla_step()
+
+    def _make_xla_step(self):
         lat = self.lattice
         w = jnp.asarray(lat.w_np())[:, None, None, None]
         omega = jnp.asarray(self.omega)[None, :, None, None]
@@ -251,6 +263,44 @@ class FisherExpansion(_MultifieldBase):
             return f * (1.0 - omega) + omega * feq + w * growth[None]
 
         return step
+
+    def _make_temporal_step(self, K, interpret=None):
+        """K-step temporal kernel + wall seam patch.
+
+        The kernel's ring halos are garbage at the domain's y edges; the
+        no-flux corner BCs rewrite *most* but not all of the affected
+        populations (e.g. f6 at the bottom-left corner keeps its streamed
+        value in the reference), so rows within K of either wall must be
+        recomputed. The patch band concatenates rows [0, 3K) and
+        [ny-3K, ny): in that ordering array rows 0 / -1 are the true wall
+        rows, so the plain XLA step (whose BC masks key off array edges)
+        applies exactly; the band's internal seam is 2K rows away from
+        every patched row.
+        """
+        from ..ops.fused import make_temporal_multifield_step
+
+        kw = {} if interpret is None else {"interpret": interpret}
+        kernel = make_temporal_multifield_step(
+            ny=self.ny, nx=self.nx, num_fields=self.num_populations,
+            omegas=self.omega, lb_G=self.lb_G, u_lb=float(self.lb_vx),
+            v_lb=float(self.lb_vy), k_steps=K, dtype=self.dtype, **kw)
+        xla_step = self._make_xla_step()
+        B = 3 * K
+        ny = self.ny
+
+        def stepK(f):
+            out = kernel(f)
+            band = jnp.concatenate(
+                [f[:, :, :B, :], f[:, :, ny - B:, :]], axis=2)
+            for _ in range(K):
+                band = xla_step(band)
+            out = out.at[:, :, :K, :].set(band[:, :, :K, :])
+            out = out.at[:, :, ny - K:, :].set(band[:, :, -K:, :])
+            return out
+
+        self.steps_per_call = K
+        self._single_step = xla_step
+        return stepK
 
     def get_fields(self):
         return self._fields_dict(self.state)

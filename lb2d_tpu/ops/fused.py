@@ -965,3 +965,250 @@ def make_temporal_pipe_step(
             return call(f)
 
     return stepK
+
+
+# ---------------------------------------------------------------------------
+# temporal-blocked kernel for the deterministic multifield family
+# ---------------------------------------------------------------------------
+
+def supports_temporal_multifield(ny: int, nx: int, num_fields: int,
+                                 k_steps: int = 2) -> bool:
+    if not (nx % 128 == 0 and ny % _T2_CH == 0
+            and ny // _T2_CH >= max(_T2_NS, 3 + k_steps)):
+        return False
+    slots = _T2_NS + (k_steps - 1) * _T2_NM + _T2_NO
+    ring_bytes = slots * 9 * num_fields * _T2_CH * nx * 4
+    return ring_bytes < 64 * 1024 * 1024
+
+
+def make_temporal_multifield_step(
+    *,
+    ny: int,
+    nx: int,
+    num_fields: int,
+    omegas,
+    lb_G,
+    u_lb: float = 0.0,
+    v_lb: float = 0.0,
+    lattice: Lattice = D2Q9,
+    dtype=jnp.float32,
+    interpret: bool = False,
+    k_steps: int = 2,
+):
+    """K-step temporal kernel for :class:`~lb2d_tpu.models.multifield.
+    FisherExpansion`: F competing populations with logistic competition
+    against the total density (``D2Q9_multifield_fisher.cl:74-122``) and
+    no-flux walls on all four sides (``:184-289``).
+
+    State enters as ``f[Q * F, ny, nx]`` (plane ``j * F + p`` = direction j
+    of field p). The no-flux walls rewrite exactly the populations whose
+    stream halos are garbage at the domain edges, so — like the flow kernel
+    and unlike the periodic diffusion kernel — no seam patch is needed.
+    """
+    CH = _T2_CH
+    K = int(k_steps)
+    F = int(num_fields)
+    assert K >= 2
+    if not supports_temporal_multifield(ny, nx, F, K):
+        raise ValueError(f"no multifield temporal tiling for {ny}x{nx} F={F}")
+    C = ny // CH
+    q = lattice.q
+    P = q * F
+    omegas = [float(o) for o in np.asarray(omegas).ravel()]
+    lb_G = [float(g) for g in np.asarray(lb_G).ravel()]
+    assert len(omegas) == F and len(lb_G) == F
+    w_ulb = np.asarray(u_lb, dtype)
+    w_vlb = np.asarray(v_lb, dtype)
+
+    def kernel(f_hbm, out_hbm, in_ring, *rest):
+        mids = rest[:K - 1]
+        out_ring = rest[K - 1]
+        sem_in, sem_out = rest[K:]
+
+        laneid = jax.lax.broadcasted_iota(jnp.int32, (CH, nx), 1)
+        rowid0 = jax.lax.broadcasted_iota(jnp.int32, (CH, nx), 0)
+
+        def load(c):
+            return pltpu.make_async_copy(
+                f_hbm.at[:, pl.ds(pl.multiple_of(c * CH, CH), CH), :],
+                in_ring.at[c % _T2_NS], sem_in.at[c % _T2_NS])
+
+        def store(c):
+            return pltpu.make_async_copy(
+                out_ring.at[c % _T2_NO],
+                out_hbm.at[:, pl.ds(pl.multiple_of(c * CH, CH), CH), :],
+                sem_out.at[c % _T2_NO])
+
+        def chunk_step(ring, depth, k):
+            prev = (k - 1) % depth
+            cur = k % depth
+            nxt = (k + 1) % depth
+            # stream: plane index j*F + p shifts by c_j
+            st = [[None] * F for _ in range(q)]
+            for j in range(q):
+                cxj, cyj = lattice.cx[j], lattice.cy[j]
+                for p in range(F):
+                    pi = j * F + p
+                    if cyj == 1:
+                        rows = jnp.concatenate(
+                            [ring[prev, pi, CH - 1:CH, :],
+                             ring[cur, pi, 0:CH - 1, :]], axis=0)
+                    elif cyj == -1:
+                        rows = jnp.concatenate(
+                            [ring[cur, pi, 1:CH, :],
+                             ring[nxt, pi, 0:1, :]], axis=0)
+                    else:
+                        rows = ring[cur, pi, :, :]
+                    st[j][p] = _lane_roll(rows, cxj, nx)
+
+            # no-flux walls + corners per field (D2Q9_multifield_fisher.cl:184-289)
+            rowid = rowid0 + k * CH
+            row_int = (rowid >= 1) & (rowid <= ny - 2)
+            lane_int = (laneid >= 1) & (laneid <= nx - 2)
+            lane0 = laneid == 0
+            laneN = laneid == nx - 1
+            row0 = rowid == 0
+            rowN = rowid == ny - 1
+            m_n = rowN & lane_int
+            m_s = row0 & lane_int
+            m_e = laneN & row_int
+            m_w = lane0 & row_int
+            ul = rowN & lane0
+            ur = rowN & laneN
+            br = row0 & laneN
+            bl = row0 & lane0
+            for p in range(F):
+                s = tuple(st[j][p] for j in range(q))
+                # north: f7<-f5, f4<-f2, f8<-f6 ; south: f2<-f4, f5<-f7, f6<-f8
+                st[7][p] = jnp.where(m_n, s[5], st[7][p])
+                st[4][p] = jnp.where(m_n, s[2], st[4][p])
+                st[8][p] = jnp.where(m_n, s[6], st[8][p])
+                st[2][p] = jnp.where(m_s, s[4], st[2][p])
+                st[5][p] = jnp.where(m_s, s[7], st[5][p])
+                st[6][p] = jnp.where(m_s, s[8], st[6][p])
+                # east: f3<-f1, f6<-f8, f7<-f5 ; west: f1<-f3, f5<-f7, f8<-f6
+                st[3][p] = jnp.where(m_e, s[1], st[3][p])
+                st[6][p] = jnp.where(m_e, s[8], st[6][p])
+                st[7][p] = jnp.where(m_e, s[5], st[7][p])
+                st[1][p] = jnp.where(m_w, s[3], st[1][p])
+                st[5][p] = jnp.where(m_w, s[7], st[5][p])
+                st[8][p] = jnp.where(m_w, s[6], st[8][p])
+                # corners (3 populations each)
+                st[1][p] = jnp.where(ul | bl, s[3], st[1][p])
+                st[4][p] = jnp.where(ul | ur, s[2], st[4][p])
+                st[8][p] = jnp.where(ul, s[6], st[8][p])
+                st[3][p] = jnp.where(ur | br, s[1], st[3][p])
+                st[7][p] = jnp.where(ur, s[5], st[7][p])
+                st[2][p] = jnp.where(br | bl, s[4], st[2][p])
+                st[6][p] = jnp.where(br, s[8], st[6][p])
+                st[5][p] = jnp.where(bl, s[7], st[5][p])
+
+            # moments + logistic competition + linear feq + per-field omega
+            rhos = []
+            for p in range(F):
+                r = st[0][p]
+                for j in range(1, q):
+                    r = r + st[j][p]
+                rhos.append(r)
+            rho_tot = rhos[0]
+            for p in range(1, F):
+                rho_tot = rho_tot + rhos[p]
+            one_minus = 1.0 - rho_tot
+
+            out = [[None] * F for _ in range(q)]
+            cs2 = lattice.cs2
+            for p in range(F):
+                om = omegas[p]
+                A = 1.0 - om
+                growth = lb_G[p] * rhos[p] * one_minus
+                for j in range(q):
+                    cu = lattice.cx[j] * w_ulb + lattice.cy[j] * w_vlb
+                    coef = lattice.w[j] * (1.0 + cu / cs2)
+                    out[j][p] = (st[j][p] * A + (om * coef) * rhos[p]
+                                 + lattice.w[j] * growth)
+            return out
+
+        load(0).start()
+        load(1).start()
+        load(2).start()
+
+        def body(k, _):
+            @pl.when(k == 0)
+            def _():
+                load(0).wait()
+
+            @pl.when(k + 1 < C)
+            def _():
+                load(k + 1).wait()
+
+            @pl.when(k < C)
+            def _():
+                res = chunk_step(in_ring, _T2_NS, k)
+                for j in range(q):
+                    for p in range(F):
+                        mids[0][k % _T2_NM, j * F + p, :, :] = res[j][p]
+
+            for s_ in range(1, K - 1):
+                @pl.when((k >= s_) & (k - s_ < C))
+                def _(s_=s_):
+                    c = k - s_
+                    res = chunk_step(mids[s_ - 1], _T2_NM, c)
+                    for j in range(q):
+                        for p in range(F):
+                            mids[s_][c % _T2_NM, j * F + p, :, :] = res[j][p]
+
+            @pl.when(k >= K - 1)
+            def _():
+                c = k - (K - 1)
+
+                @pl.when(c >= _T2_NO)
+                def _():
+                    store(c - _T2_NO).wait()
+
+                res = chunk_step(mids[K - 2], _T2_NM, c)
+                for j in range(q):
+                    for p in range(F):
+                        out_ring[c % _T2_NO, j * F + p, :, :] = res[j][p]
+                store(c).start()
+
+            @pl.when(k + 3 < C)
+            def _():
+                load(k + 3).start()
+            return 0
+
+        jax.lax.fori_loop(0, C + K - 1, body, 0)
+        store(C - 2).wait()
+        store(C - 1).wait()
+
+    scratch = [pltpu.VMEM((_T2_NS, P, CH, nx), dtype)]
+    scratch += [pltpu.VMEM((_T2_NM, P, CH, nx), dtype) for _ in range(K - 1)]
+    scratch += [
+        pltpu.VMEM((_T2_NO, P, CH, nx), dtype),
+        pltpu.SemaphoreType.DMA((_T2_NS,)),
+        pltpu.SemaphoreType.DMA((_T2_NO,)),
+    ]
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((P, ny, nx), dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=220 * K * F * ny * nx,
+            bytes_accessed=2 * P * ny * nx * 4,
+            transcendentals=0,
+        ),
+    )
+
+    def stepK(f_qf):
+        """f_qf: [Q, F, ny, nx] -> same; internally flattened to [Q*F,...]."""
+        flat = f_qf.reshape(P, ny, nx)
+        out = call(flat)
+        return out.reshape(q, F, ny, nx)
+
+    return stepK

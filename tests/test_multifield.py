@@ -87,3 +87,20 @@ def test_expansion_noise_branches():
     fa, fb = np.asarray(a.state[0]), np.asarray(b.state[0])
     assert np.isfinite(fa).all() and (fa >= 0).all()
     assert not np.allclose(fa, fb)
+
+
+def test_multifield_temporal_kernel_parity():
+    """K-step multifield temporal kernel + wall seam patch == K XLA steps."""
+    sim = FisherExpansion(Lx=4.1, Ly=4.1, mu_standard=1.0, mu_list=[1.0, 0.8],
+                          D_standard=1.0, D_list=[1.0, 1.2], N=63,
+                          initial_frac_widths=[0.5, 0.5],
+                          initial_frac_indices=[0, 1])
+    assert (sim.ny, sim.nx) == (128, 128)
+    stepK = sim._make_temporal_step(2, interpret=True)
+    step = sim._make_xla_step()
+    a = b = sim.state
+    for _ in range(3):
+        a = step(step(a))
+        b = stepK(b)
+    d = float(np.abs(np.asarray(a) - np.asarray(b)).max())
+    assert d < 1e-6, d
