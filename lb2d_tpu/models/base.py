@@ -60,16 +60,19 @@ class LBModel:
         ``self.last_mlups`` (million lattice-site updates per second, the
         reference's benchmark metric).
         """
-        if timed and not getattr(self, "_warm", False):
-            # compile outside the timed region (a 0-step call builds the same
-            # executable: the iteration count is a traced argument)
-            self.state = self._run_compiled(self.state, jnp.int32(0))
-            _force_completion(self.state)
-            self._warm = True
         # temporal-blocked steps advance `steps_per_call` LB steps per call;
         # the remainder falls back to the single-step function
         spc = getattr(self, "steps_per_call", 1)
         n_calls, rem = divmod(num_iterations, spc)
+        if timed and not getattr(self, "_warm", False):
+            # compile outside the timed region (a 0-step call builds the same
+            # executable: the iteration count is a traced argument)
+            self.state = self._run_compiled(self.state, jnp.int32(0))
+            if rem:
+                # AOT-compile the remainder step without executing it
+                self._remainder_step.lower(self.state).compile()
+            _force_completion(self.state)
+            self._warm = True
         t0 = time.perf_counter() if timed else None
         self.state = self._run_compiled(self.state, jnp.int32(n_calls))
         for _ in range(rem):
