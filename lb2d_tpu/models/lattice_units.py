@@ -53,6 +53,7 @@ class LatticePipeFlow(PipeFlow):
         if obstacle_mask is not None:
             obstacle_mask = jnp.asarray(np.asarray(obstacle_mask, dtype=bool))
         self.obstacle_mask = obstacle_mask
+        self._pad_dims = None
 
         import jax
 

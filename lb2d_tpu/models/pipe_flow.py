@@ -107,8 +107,11 @@ class PipeFlow(LBModel):
         # - "pipelined": single-sweep fused kernel, 1 read + 1 write per step
         # - "fused": blocked kernel with halo-chunk DMAs
         # - "xla": pure-XLA oracle path (any grid/backend)
+        self._pad_dims = None
         if backend == "auto":
             on_tpu = jax.default_backend() == "tpu"
+            ny_pad = -(-self.ny // 16) * 16
+            nx_pad = -(-self.nx // 128) * 128
             if not (on_tpu and self._fused_capable()):
                 backend = "xla"
             elif supports_temporal(self.ny, self.nx, 6):
@@ -117,11 +120,23 @@ class PipeFlow(LBModel):
                 backend = "pipelined"
             elif supports_fused(self.ny, self.nx):
                 backend = "fused"
+            elif supports_temporal(ny_pad, nx_pad, 6):
+                # unaligned grid: run the temporal kernel on an edge-padded
+                # array. Safe for the flow family only: the x/y walls rewrite
+                # exactly the populations through which dead-lane/dead-row
+                # garbage could enter the physical domain.
+                backend = "temporal"
+                self._pad_dims = (ny_pad, nx_pad)
             else:
                 backend = "xla"
         self.backend = backend
 
         self.state = self._init_state(np.random.RandomState(seed))
+        if self._pad_dims is not None:
+            py = self._pad_dims[0] - self.ny
+            px = self._pad_dims[1] - self.nx
+            self.state = jnp.pad(self.state, ((0, 0), (0, py), (0, px)),
+                                 mode="edge")
         super().__init__()
 
     # --- geometry hooks (overridden by subclasses) ---------------------------
@@ -223,23 +238,45 @@ class PipeFlow(LBModel):
 
     def _make_temporal_step(self, k_steps=6):
         has_obstacle = self.obstacle_mask is not None
+        kw = self._kernel_kwargs()
+        if self._pad_dims is not None:
+            kw.update(ny=self._pad_dims[0], nx=self._pad_dims[1],
+                      ny_phys=self.ny, nx_phys=self.nx)
         stepK = make_temporal_pipe_step(k_steps=k_steps,
-                                        has_obstacle=has_obstacle,
-                                        **self._kernel_kwargs())
+                                        has_obstacle=has_obstacle, **kw)
         self.steps_per_call = k_steps
+
         # remainder (iteration counts % k_steps) runs single steps
-        if supports_pipelined(self.ny, self.nx):
+        if self._pad_dims is not None:
+            # slice to physical, run one XLA step, re-pad
+            xla = self._make_xla_step()
+            py = self._pad_dims[0] - self.ny
+            px = self._pad_dims[1] - self.nx
+            ny, nx = self.ny, self.nx
+
+            def single(fp):
+                f = xla(fp[:, :ny, :nx])
+                return jnp.pad(f, ((0, 0), (0, py), (0, px)), mode="edge")
+
+            self._single_step = single
+        elif supports_pipelined(self.ny, self.nx):
             single = make_pipelined_pipe_step(has_obstacle=has_obstacle,
                                               **self._kernel_kwargs())
+            if has_obstacle:
+                m = self.obstacle_mask.astype(jnp.int32)
+                self._single_step = lambda f: single(f, m)
+            else:
+                self._single_step = single
         else:
-            single = self._make_xla_step()
+            self._single_step = self._make_xla_step()
+
         if has_obstacle:
             mask = self.obstacle_mask.astype(jnp.int32)
-            self._single_step = (
-                (lambda f: single(f, mask))
-                if supports_pipelined(self.ny, self.nx) else single)
+            if self._pad_dims is not None:
+                py = self._pad_dims[0] - self.ny
+                px = self._pad_dims[1] - self.nx
+                mask = jnp.pad(mask, ((0, py), (0, px)))
             return lambda f: stepK(f, mask)
-        self._single_step = single
         return stepK
 
     def _make_kernel_step(self, maker):
@@ -280,8 +317,14 @@ class PipeFlow(LBModel):
 
         return step
 
+    def _f_phys(self):
+        """The physical-domain populations (drops padding if present)."""
+        if self._pad_dims is not None:
+            return self.state[:, :self.ny, :self.nx]
+        return self.state
+
     def device_field(self, name):
-        f = self.state
+        f = self._f_phys()
         rho, u, v = self._hydro_fn()(f)
         return {"rho": rho, "u": u, "v": v}.get(name)
 
@@ -289,7 +332,7 @@ class PipeFlow(LBModel):
     def get_fields(self) -> dict:
         """All fields in LB units, as numpy arrays indexed ``[x, y]``
         (``f``/``feq`` as ``[9, nx, ny]``) to match the reference layout."""
-        f = self.state
+        f = self._f_phys()
         rho, u, v = self._hydro_fn()(f)
         feq = self._feq_fn()(rho, u, v)
         return {

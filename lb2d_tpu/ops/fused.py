@@ -285,9 +285,15 @@ def _zou_he_inout_narrow(st, rowid, laneid, ny, nx, inlet_rho, outlet_rho,
     shrinks. Walls/corners are handled separately by
     :func:`_walls_corners_tile` on the edge row chunks.
     """
-    L = min(128, nx)
+    # lane tiles holding the inlet (lane 0) and outlet (lane nx-1) columns;
+    # with padded arrays the outlet lane can sit inside the array, so slice
+    # the 128-lane tile that contains it.
+    pad_nx = st[0].shape[1]
+    L = min(128, pad_nx)
+    t0 = ((nx - 1) // L) * L
+    col = (nx - 1) - t0
     sL = [p[:, :L] for p in st]
-    sR = [p[:, -L:] for p in st]
+    sR = [p[:, t0:t0 + L] for p in st]
 
     if incompressible:
         u_in = (-sL[0] - sL[2] - 2 * sL[3] - sL[4] - 2 * sL[6] - 2 * sL[7]
@@ -322,9 +328,9 @@ def _zou_he_inout_narrow(st, rowid, laneid, ny, nx, inlet_rho, outlet_rho,
     st[1] = jnp.where(m_in, in1[:, :1], st[1])
     st[5] = jnp.where(m_in, in5[:, :1], st[5])
     st[8] = jnp.where(m_in, in8[:, :1], st[8])
-    st[3] = jnp.where(m_out, out3[:, -1:], st[3])
-    st[6] = jnp.where(m_out, out6[:, -1:], st[6])
-    st[7] = jnp.where(m_out, out7[:, -1:], st[7])
+    st[3] = jnp.where(m_out, out3[:, col:col + 1], st[3])
+    st[6] = jnp.where(m_out, out6[:, col:col + 1], st[6])
+    st[7] = jnp.where(m_out, out7[:, col:col + 1], st[7])
     return st
 
 
@@ -755,6 +761,8 @@ def make_temporal_pipe_step(
     u_lb: float = 0.0,
     v_lb: float = 0.0,
     lb_G: float = 0.0,
+    ny_phys: int | None = None,
+    nx_phys: int | None = None,
 ):
     """Build ``stepK(f) -> f`` advancing ``k_steps`` LB steps per HBM sweep.
 
@@ -777,6 +785,13 @@ def make_temporal_pipe_step(
     assert K >= 2
     if not supports_temporal(ny, nx, K):
         raise ValueError(f"no temporal tiling for grid {ny}x{nx}")
+    # With padded arrays the BC masks key off the *physical* dims: the walls
+    # rewrite exactly the populations through which dead-lane/dead-row
+    # garbage could enter the physical domain (flow physics only; periodic
+    # families cannot be padded).
+    ny_p = ny_phys if ny_phys is not None else ny
+    nx_p = nx_phys if nx_phys is not None else nx
+    assert physics == "flow" or (ny_p == ny and nx_p == nx)
     C = ny // CH
     q = lattice.q
     incompressible = equilibrium == "incompressible"
@@ -852,9 +867,9 @@ def make_temporal_pipe_step(
                 return _diffusion_collide(st, w_omega, w_ulb, w_vlb,
                                           w_G if lb_G else 0.0, lattice)
             rowid = rowid0 + k * CH
-            st = _zou_he_inout_narrow(st, rowid, laneid, ny, nx, w_inlet,
+            st = _zou_he_inout_narrow(st, rowid, laneid, ny_p, nx_p, w_inlet,
                                       w_outlet, incompressible)
-            st = _walls_corners_tile(st, rowid, laneid, ny, nx, w_inlet,
+            st = _walls_corners_tile(st, rowid, laneid, ny_p, nx_p, w_inlet,
                                      w_outlet)
             mask = (mask_ring[k % MR] != 0) if has_obstacle else None
             return _moments_feq_collide(st, mask, w_omega, lattice,

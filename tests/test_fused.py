@@ -138,3 +138,37 @@ def test_temporal_obstacle_matches_xla():
         return f
 
     _compare(k_xla, lambda f: t3(f, mask_j), sim.state, n=2)
+
+
+def test_padded_temporal_matches_xla():
+    """Unaligned flow grids run the temporal kernel on an edge-padded array;
+    the physical region must match the XLA path exactly."""
+    import jax.numpy as jnp
+
+    PH = dict(diameter=1.0, rho=10.0, viscosity=5.0, pressure_grad=-100.0)
+    a = PipeFlow(N=149, pipe_length=(200 - 1.5) / 149, backend="xla", **PH)
+    assert (a.ny, a.nx) == (150, 200)
+    b = PipeFlow(N=149, pipe_length=(200 - 1.5) / 149, backend="xla", **PH)
+    b.backend = "temporal"
+    b._pad_dims = (160, 256)
+    b.state = jnp.pad(b.state, ((0, 0), (0, 10), (0, 56)), mode="edge")
+    stepK = b._make_temporal_step(6)
+    step = a.make_step()
+    fa = a.state
+    for _ in range(6):
+        fa = step(fa)
+    fb = stepK(b.state)
+    d = float(np.abs(np.asarray(fa) - np.asarray(fb)[:, :150, :200]).max())
+    assert d < 1e-6, d
+    # the remainder path (slice -> xla -> re-pad) must also match
+    b.state = fb
+    b._step = stepK
+    import jax
+    from functools import partial
+    from lb2d_tpu.models.base import _run_loop
+    b._run_compiled = jax.jit(partial(_run_loop, stepK), donate_argnums=0)
+    fa2 = step(fa)
+    b.run(1)
+    d2 = float(np.abs(np.asarray(fa2)
+                      - np.asarray(b.state)[:, :150, :200]).max())
+    assert d2 < 1e-6, d2
