@@ -51,6 +51,46 @@ __all__ = [
 ]
 
 
+def make_noisy_temporal_step(ny, nx, omega, u_lb, v_lb, lb_G, lb_Dg, K,
+                             xla_step, dtype, interpret=None):
+    """K-step temporal-blocked kernel for the stochastic Fisher family
+    (state ``(f, key)``), with the periodic seam patch.
+
+    The kernel draws its normals from the on-core TPU PRNG
+    (``pltpu.prng_random_bits`` + Box-Muller), seeded per
+    (sweep, chunk, stage) from a key-derived int32; the seam band is
+    recomputed with K plain XLA steps whose noise comes from ``jax.random``
+    — a different (but identically-distributed) realization. See
+    DIVERGENCES.md: within ~2K rows of the y-wrap the stitched noise
+    realization is not a single consistent SPDE sample; marginal statistics
+    are unaffected.
+    """
+    from ..ops.fused import make_temporal_pipe_step
+
+    kw = {} if interpret is None else {"interpret": interpret}
+    kernel = make_temporal_pipe_step(
+        ny=ny, nx=nx, omega=float(omega), physics="noisy_fisher",
+        u_lb=float(u_lb), v_lb=float(v_lb), lb_G=float(lb_G),
+        lb_Dg=float(lb_Dg), k_steps=K, dtype=dtype, **kw)
+    B = 3 * K
+    band_idx = jnp.asarray(np.arange(-B, B) % ny)
+    patch_rows = jnp.asarray(np.arange(-K, K) % ny)
+
+    def stepK(state):
+        f, key = state
+        key, ks, kb = jax.random.split(key, 3)
+        seed = jax.lax.bitcast_convert_type(
+            jax.random.bits(ks, (1, 1), jnp.uint32), jnp.int32)
+        out = kernel(f, seed)
+        bstate = (f[:, band_idx, :], kb)
+        for _ in range(K):
+            bstate = xla_step(bstate)
+        out = out.at[:, patch_rows, :].set(bstate[0][:, B - K:B + K, :])
+        return (out, key)
+
+    return stepK
+
+
 class Diffusion(LBModel):
     """Pure diffusion of an initially-Gaussian density blob
     (``diffusion.py:56-185``): characteristic scales L = z, T = z^2/D so the
@@ -319,6 +359,29 @@ class ReactionAdvectionDiffusionStochastic(ReactionAdvectionDiffusion):
         return (f, jax.random.PRNGKey(self._rng_seed))
 
     def make_step(self):
+        from ..ops.fused import supports_temporal
+
+        # deeper blocking keeps winning for this VPU-heavy kernel
+        # (measured at 2048^2: K=4 6960 / K=6 8437 / K=8 9342 MLUPS)
+        K = 8 if self.ny >= 24 * 8 else 4
+        if (jax.default_backend() == "tpu"
+                and supports_temporal(self.ny, self.nx, K)
+                and self.ny >= 24 * K):
+            return self._make_noisy_temporal_step(K)
+        return self._make_xla_stochastic_step()
+
+    def _make_noisy_temporal_step(self, K, interpret=None):
+        stepK = make_noisy_temporal_step(
+            self.ny, self.nx, self.omega,
+            float(np.asarray(self.u).ravel()[0]),
+            float(np.asarray(self.v).ravel()[0]),
+            self.G, self.Dg, K, self._make_xla_stochastic_step(),
+            self.dtype, interpret=interpret)
+        self.steps_per_call = K
+        self._single_step = self._make_xla_stochastic_step()
+        return stepK
+
+    def _make_xla_stochastic_step(self):
         u, v = self.u, self.v
         omega = jnp.asarray(self.omega, self.dtype)
         w = jnp.asarray(self.lattice.w_np(np.float32), self.dtype)[:, None, None]

@@ -103,6 +103,31 @@ class NoisyAdvectedFisherWave(LBModel):
         return self.nx * self.ny
 
     def make_step(self):
+        from ..ops.fused import supports_temporal
+
+        # deeper blocking keeps winning for this VPU-heavy kernel
+        # (measured at 2048^2: K=4 6960 / K=6 8437 / K=8 9342 MLUPS)
+        K = 8 if self.ny >= 24 * 8 else 4
+        if (jax.default_backend() == "tpu"
+                and supports_temporal(self.ny, self.nx, K)
+                and self.ny >= 24 * K):
+            return self._make_noisy_temporal_step(K)
+        return self._make_xla_stochastic_step()
+
+    def _make_noisy_temporal_step(self, K, interpret=None):
+        from .diffusion import make_noisy_temporal_step
+
+        stepK = make_noisy_temporal_step(
+            self.ny, self.nx, self.omega,
+            float(np.asarray(self.u).ravel()[0]),
+            float(np.asarray(self.v).ravel()[0]),
+            self.lb_Gd, self.lb_Dg, K, self._make_xla_stochastic_step(),
+            self.dtype, interpret=interpret)
+        self.steps_per_call = K
+        self._single_step = self._make_xla_stochastic_step()
+        return stepK
+
+    def _make_xla_stochastic_step(self):
         u, v = self.u, self.v
         lat = self.lattice
         omega = jnp.asarray(self.omega, self.dtype)

@@ -268,6 +268,50 @@ def _diffusion_collide(st, omega, u_lb, v_lb, lb_G, lattice):
     return out
 
 
+def _box_muller(b1, b2):
+    """Two uint32 bit fields -> one standard normal (top 24 bits each;
+    offset keeps u1 in (0, 1] so log never sees 0). The 24-bit values are
+    bitcast to int32 before the float conversion (Mosaic has no
+    uint32->float32 cast)."""
+    t1 = jax.lax.bitcast_convert_type(b1 >> 8, jnp.int32)
+    t2 = jax.lax.bitcast_convert_type(b2 >> 8, jnp.int32)
+    u1 = t1.astype(jnp.float32) * (1.0 / (1 << 24)) + (0.5 / (1 << 24))
+    u2 = t2.astype(jnp.float32) * (1.0 / (1 << 24))
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos((2.0 * np.pi) * u2)
+
+
+def _normal_from_bits(shape):
+    """Standard normals via Box-Muller on the on-core TPU PRNG.
+
+    Must be preceded by ``pltpu.prng_seed``.
+    """
+    b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    return _box_muller(b1, b2)
+
+
+def _hash_u32(x):
+    """PCG-style avalanche hash on uint32 arrays (interpret-mode PRNG;
+    ``pltpu.prng_random_bits`` has no CPU lowering)."""
+    x = (x ^ (x >> 16)) * np.uint32(0x7FEB352D)
+    x = (x ^ (x >> 15)) * np.uint32(0x846CA68B)
+    return x ^ (x >> 16)
+
+
+def _normal_from_hash(seed_i32, shape):
+    """Interpret-mode stand-in for :func:`_normal_from_bits`: counter-based
+    hash of (seed, cell index) in plain jnp ops. Different realization from
+    the TPU hardware PRNG, same distribution."""
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    cell = rows * np.uint32(shape[1]) + cols
+    s = jax.lax.bitcast_convert_type(seed_i32, jnp.uint32)
+    b1 = _hash_u32(cell ^ s)
+    b2 = _hash_u32(cell ^ s ^ np.uint32(0x9E3779B9))
+    return _box_muller(b1, b2)
+
+
 def _lane_roll(arr, shift, nx):
     if shift:
         return pltpu.roll(arr, shift % nx, axis=1)
@@ -761,6 +805,7 @@ def make_temporal_pipe_step(
     u_lb: float = 0.0,
     v_lb: float = 0.0,
     lb_G: float = 0.0,
+    lb_Dg: float = 0.0,
     ny_phys: int | None = None,
     nx_phys: int | None = None,
 ):
@@ -795,7 +840,8 @@ def make_temporal_pipe_step(
     C = ny // CH
     q = lattice.q
     incompressible = equilibrium == "incompressible"
-    diffusion = physics == "diffusion"
+    diffusion = physics in ("diffusion", "noisy_fisher")
+    noisy = physics == "noisy_fisher"
     w_inlet = np.asarray(inlet_rho, dtype)
     w_outlet = np.asarray(outlet_rho, dtype)
     w_omega = np.asarray(omega, dtype)
@@ -806,7 +852,12 @@ def make_temporal_pipe_step(
     MR = K + 3  # mask ring depth: chunk c is read by stages at iters c..c+K-1
 
     def kernel(*refs):
-        if has_obstacle:
+        seed_ref = None
+        if noisy:
+            f_hbm, seed_ref, out_hbm = refs[:3]
+            mask_hbm = None
+            rest = refs[3:]
+        elif has_obstacle:
             f_hbm, mask_hbm, out_hbm = refs[:3]
             rest = refs[3:]
         else:
@@ -841,7 +892,7 @@ def make_temporal_pipe_step(
                 mask_hbm.at[pl.ds(pl.multiple_of(c * CH, CH), CH), :],
                 mask_ring.at[c % MR], sem_mask.at[c % MR])
 
-        def chunk_step(ring, depth, k):
+        def chunk_step(ring, depth, k, stage=0):
             """One LB step for chunk k, stream halos from ring chunks
             k-1 / k+1 (stale/garbage rows at domain edges are rewritten by
             the BCs)."""
@@ -864,8 +915,31 @@ def make_temporal_pipe_step(
                 st.append(_lane_roll(rows, cxj, nx))
             if diffusion:
                 # periodic domain, no BCs (diffusion.py:326-331)
-                return _diffusion_collide(st, w_omega, w_ulb, w_vlb,
-                                          w_G if lb_G else 0.0, lattice)
+                res = _diffusion_collide(st, w_omega, w_ulb, w_vlb,
+                                         w_G if lb_G else 0.0, lattice)
+                if noisy:
+                    # multiplicative demographic noise + negativity clip
+                    # (collide_particles_noisy_fisher,
+                    #  D2Q9_diffusion.cl:126-167) with the on-core PRNG,
+                    # seeded per (sweep, chunk, stage)
+                    rho = st[0]
+                    for j in range(1, q):
+                        rho = rho + st[j]
+                    if lb_Dg:
+                        seed = (seed_ref[0, 0]
+                                ^ (k * np.int32(-1640531535)
+                                   + np.int32(stage * 40503)))
+                        if interpret:
+                            eta = _normal_from_hash(seed, rho.shape)
+                        else:
+                            pltpu.prng_seed(seed)
+                            eta = _normal_from_bits(rho.shape)
+                        noise = jnp.sqrt(
+                            jnp.maximum(lb_Dg * rho * (1.0 - rho), 0.0)) * eta
+                        res = [res[j] + lattice.w[j] * noise
+                               for j in range(q)]
+                    res = [jnp.maximum(r, 0.0) for r in res]
+                return res
             rowid = rowid0 + k * CH
             st = _zou_he_inout_narrow(st, rowid, laneid, ny_p, nx_p, w_inlet,
                                       w_outlet, incompressible)
@@ -906,7 +980,7 @@ def make_temporal_pipe_step(
 
             @pl.when(k < C)
             def _():
-                res = chunk_step(in_ring, _T2_NS, k)
+                res = chunk_step(in_ring, _T2_NS, k, stage=0)
                 for j in range(q):
                     mids[0][k % _T2_NM, j, :, :] = res[j]
 
@@ -915,7 +989,7 @@ def make_temporal_pipe_step(
                 @pl.when((k >= s) & (k - s < C))
                 def _(s=s):
                     c = k - s
-                    res = chunk_step(mids[s - 1], _T2_NM, c)
+                    res = chunk_step(mids[s - 1], _T2_NM, c, stage=s)
                     for j in range(q):
                         mids[s][c % _T2_NM, j, :, :] = res[j]
 
@@ -928,7 +1002,7 @@ def make_temporal_pipe_step(
                 def _():
                     store(c - _T2_NO).wait()
 
-                res = chunk_step(mids[K - 2], _T2_NM, c)
+                res = chunk_step(mids[K - 2], _T2_NM, c, stage=K - 1)
                 for j in range(q):
                     out_ring[c % _T2_NO, j, :, :] = res[j]
                 store(c).start()
@@ -955,10 +1029,16 @@ def make_temporal_pipe_step(
     if has_obstacle:
         scratch += [pltpu.SemaphoreType.DMA((K + 3,))]
 
+    if noisy:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pltpu.SMEM)]
+    else:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * (
+            2 if has_obstacle else 1)
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((q, ny, nx), dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (2 if has_obstacle else 1),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=scratch,
         interpret=interpret,
@@ -972,7 +1052,10 @@ def make_temporal_pipe_step(
         ),
     )
 
-    if has_obstacle:
+    if noisy:
+        def stepK(f, seed):
+            return call(f, seed)
+    elif has_obstacle:
         def stepK(f, mask):
             return call(f, mask)
     else:

@@ -1,0 +1,104 @@
+"""In-kernel PRNG (noisy_fisher temporal kernel) tests.
+
+The TPU path draws normals from ``pltpu.prng_random_bits``; in interpret
+mode the kernel substitutes a counter-hash PRNG with the same distribution
+(``lb2d_tpu.ops.fused._normal_from_hash``), so these tests exercise the full
+kernel + seam-patch pipeline on CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lb2d_tpu.models.diffusion import ReactionAdvectionDiffusionStochastic
+from lb2d_tpu.models.waves import NoisyAdvectedFisherWave
+
+
+def _wave(**over):
+    # grid 128x128: N*int(Lx/z) = 63*2 = 126, +2 ring
+    kw = dict(N=63, z=0.1, Lx=0.21, Ly=0.21, D=1.0, g=1.0, Nc=10.0,
+              vx=1.0, vy=0.5, vc=1.0)
+    kw.update(over)
+    return NoisyAdvectedFisherWave(**kw)
+
+
+def test_noisy_temporal_dg0_matches_xla():
+    """With Dg=0 the noise term vanishes identically, so the kernel must
+    reproduce the deterministic trajectory bit-for-bit (seam patch
+    included) regardless of how the two paths consume their keys."""
+    sim = _wave(Nc=np.inf)  # Dg = (1/Nc)(z/D) = 0
+    assert sim.lb_Dg == 0.0
+    stepK = sim._make_noisy_temporal_step(2, interpret=True)
+    xla = sim._make_xla_stochastic_step()
+    a = b = sim.state
+    for _ in range(2):
+        b = stepK(b)
+        a = xla(xla(a))
+    d = float(jnp.abs(a[0] - b[0]).max())
+    assert d < 1e-6, d
+
+
+def test_noisy_temporal_statistics():
+    """Noise applied in-kernel has the right magnitude: from a uniform
+    rho=0.5 state, one K=2 sweep adds per-cell density noise with mean ~0
+    and std within a loose factor of sqrt(2 Dg rho(1-rho))."""
+    sim = _wave()
+    Dg = float(sim.lb_Dg)
+    assert Dg > 0
+    # uniform rho = 0.5 equilibrium state
+    w = D2Q9_w = np.asarray(sim.lattice.w_np())
+    f0 = jnp.asarray(np.broadcast_to(
+        (0.5 * w)[:, None, None], (9, sim.ny, sim.nx)).copy(), jnp.float32)
+
+    stepK = sim._make_noisy_temporal_step(2, interpret=True)
+    noisy = stepK((f0, jax.random.PRNGKey(0)))[0]
+
+    det = _wave(Nc=np.inf)
+    det_stepK = det._make_noisy_temporal_step(2, interpret=True)
+    base = det_stepK((f0, jax.random.PRNGKey(0)))[0]
+
+    diff = np.asarray((noisy - base).sum(0))[8:-8]  # interior rows
+    expected = np.sqrt(2 * Dg * 0.25)
+    assert abs(diff.mean()) < 0.1 * expected
+    assert 0.5 * expected < diff.std() < 2.0 * expected, (
+        diff.std(), expected)
+
+
+def test_noisy_temporal_reproducible_and_seeded():
+    sim = _wave()
+    stepK = sim._make_noisy_temporal_step(2, interpret=True)
+    s1 = stepK(sim.state)
+    s2 = stepK(sim.state)
+    np.testing.assert_array_equal(np.asarray(s1[0]), np.asarray(s2[0]))
+    s3 = stepK((sim.state[0], jax.random.PRNGKey(123)))
+    assert not np.array_equal(np.asarray(s1[0]), np.asarray(s3[0]))
+
+
+def test_noisy_temporal_finite_clipped_and_grows():
+    sim = _wave(g=30.0)
+    stepK = sim._make_noisy_temporal_step(2, interpret=True)
+    state = sim.state
+    m0 = float(state[0].sum())
+    for _ in range(5):
+        state = stepK(state)
+    f = np.asarray(state[0])
+    assert np.isfinite(f).all()
+    assert (f >= 0).all()
+    assert f.sum() > m0  # Fisher growth dominates
+
+
+def test_stochastic_diffusion_temporal_matches_family():
+    """Same machinery on ReactionAdvectionDiffusionStochastic (its Dg is the
+    raw lattice amplitude, diffusion.py:568)."""
+    sim = ReactionAdvectionDiffusionStochastic(
+        Lx=0.21, Ly=0.21, z=0.1, N=63, D=1.0, g=1.0, vx=1.0, vy=1.0,
+        vc=1.0, Dg=0.0)
+    stepK = sim._make_noisy_temporal_step(2, interpret=True)
+    xla = sim._make_xla_stochastic_step()
+    a = b = sim.state
+    for _ in range(2):
+        b = stepK(b)
+        a = xla(xla(a))
+    d = float(jnp.abs(a[0] - b[0]).max())
+    assert d < 1e-6, d
