@@ -241,10 +241,12 @@ class FisherExpansion(_MultifieldBase):
             supports_temporal_multifield,
         )
 
-        if (jax.default_backend() == "tpu"
-                and supports_temporal_multifield(
-                    self.ny, self.nx, self.num_populations, 2)):
-            return self._make_temporal_step(2, interpret=False)
+        # deepest K whose VMEM ring fits (F=2 at 2048^2 tops out at K=6)
+        for K in (8, 6, 4, 3, 2):
+            if (jax.default_backend() == "tpu"
+                    and supports_temporal_multifield(
+                        self.ny, self.nx, self.num_populations, K)):
+                return self._make_temporal_step(K, interpret=False)
         return self._make_xla_step()
 
     def _make_xla_step(self):
@@ -350,6 +352,67 @@ class Expansion(_MultifieldBase):
         return (f, jax.random.PRNGKey(self._rng_seed))
 
     def make_step(self):
+        from ..ops.fused import supports_temporal_multifield
+
+        # VMEM ring scales with F and K; deeper blocking keeps winning
+        # (1024^2 F=3: K=3 2048 / K=4 2413 / K=6 2620 / K=8 3141 MLUPS vs
+        # XLA 1093) — pick the deepest K the ring fits
+        for K in (8, 6, 4, 3, 2):
+            if (jax.default_backend() == "tpu"
+                    and supports_temporal_multifield(
+                        self.ny, self.nx, self.num_fields, K)
+                    and self.ny >= 24 * K):
+                return self._make_expansion_temporal_step(K)
+        return self._make_xla_stochastic_step()
+
+    def _make_expansion_temporal_step(self, K, interpret=None):
+        """K-step temporal kernel + periodic seam patch.
+
+        Unlike :class:`FisherExpansion` this family has no walls — the
+        domain is fully periodic (``stochastic_nutrients.py`` move_bcs is
+        the diffusion no-op) — so the y-wrap seam band (rows within K of
+        row 0) is recomputed with K plain XLA steps, exactly like the
+        scalar diffusion/noisy-fisher kernels. The kernel's normals come
+        from the on-core TPU PRNG; the band patch uses ``jax.random``
+        (see DIVERGENCES.md #19 for the stitched-realization caveat).
+        """
+        from ..ops.fused import make_temporal_multifield_step
+
+        kw = {} if interpret is None else {"interpret": interpret}
+        kernel = make_temporal_multifield_step(
+            ny=self.ny, nx=self.nx, num_fields=self.num_fields,
+            omegas=list(np.asarray(self.omega).ravel())
+            + [float(self.omega_nutrient)],
+            lb_G=self.lb_G, lb_Dg=self.lb_Dg, cutoff=self.zero_cutoff,
+            u_lb=float(self.lb_vx), v_lb=float(self.lb_vy),
+            physics="expansion", k_steps=K, dtype=self.dtype, **kw)
+        xla_step = self._make_xla_stochastic_step()
+        noisy = bool(np.any(np.asarray(self.lb_Dg)))
+        B = 3 * K
+        band_idx = jnp.asarray(np.arange(-B, B) % self.ny)
+        patch_rows = jnp.asarray(np.arange(-K, K) % self.ny)
+
+        def stepK(state):
+            f, key = state
+            key, ks, kb = jax.random.split(key, 3)
+            if noisy:
+                seed = jax.lax.bitcast_convert_type(
+                    jax.random.bits(ks, (1, 1), jnp.uint32), jnp.int32)
+                out = kernel(f, seed)
+            else:
+                out = kernel(f)
+            bstate = (f[:, :, band_idx, :], kb)
+            for _ in range(K):
+                bstate = xla_step(bstate)
+            out = out.at[:, :, patch_rows, :].set(
+                bstate[0][:, :, B - K:B + K, :])
+            return (out, key)
+
+        self.steps_per_call = K
+        self._single_step = xla_step
+        return stepK
+
+    def _make_xla_stochastic_step(self):
         lat = self.lattice
         P = self.num_populations
         w = jnp.asarray(lat.w_np())[:, None, None]

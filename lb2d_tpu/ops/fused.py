@@ -1092,6 +1092,9 @@ def make_temporal_multifield_step(
     dtype=jnp.float32,
     interpret: bool = False,
     k_steps: int = 2,
+    physics: str = "fisher",
+    lb_Dg=None,
+    cutoff: float = 0.01,
 ):
     """K-step temporal kernel for :class:`~lb2d_tpu.models.multifield.
     FisherExpansion`: F competing populations with logistic competition
@@ -1114,11 +1117,27 @@ def make_temporal_multifield_step(
     P = q * F
     omegas = [float(o) for o in np.asarray(omegas).ravel()]
     lb_G = [float(g) for g in np.asarray(lb_G).ravel()]
-    assert len(omegas) == F and len(lb_G) == F
+    expansion = physics == "expansion"
+    if expansion:
+        # F = P populations + 1 nutrient; omegas has F entries (nutrient
+        # last), lb_G / lb_Dg have P (stochastic_nutrients.py:218-248)
+        lb_Dg = [float(d) for d in np.asarray(lb_Dg).ravel()]
+        assert len(omegas) == F and len(lb_G) == F - 1
+        assert len(lb_Dg) == F - 1
+        noisy = any(lb_Dg)
+    else:
+        assert physics == "fisher"
+        assert len(omegas) == F and len(lb_G) == F
+        noisy = False
     w_ulb = np.asarray(u_lb, dtype)
     w_vlb = np.asarray(v_lb, dtype)
 
-    def kernel(f_hbm, out_hbm, in_ring, *rest):
+    def kernel(*refs):
+        if noisy:
+            f_hbm, seed_ref, out_hbm, in_ring, *rest = refs
+        else:
+            f_hbm, out_hbm, in_ring, *rest = refs
+            seed_ref = None
         mids = rest[:K - 1]
         out_ring = rest[K - 1]
         sem_in, sem_out = rest[K:]
@@ -1137,7 +1156,67 @@ def make_temporal_multifield_step(
                 out_hbm.at[:, pl.ds(pl.multiple_of(c * CH, CH), CH), :],
                 sem_out.at[c % _T2_NO])
 
-        def chunk_step(ring, depth, k):
+        def _expansion_collide(st, k, stage):
+            """Periodic stochastic range expansion with nutrient
+            (``D2Q9_multifield_diffusion.cl:80-168``): clipped hydro,
+            growth ``G_p rho_p c``, Milstein noise per population,
+            nutrient consumption ``-sum react_p``, zero/negativity/NaN
+            clipping. Normals come from the on-core PRNG, one seed per
+            (sweep, chunk, stage), P sequential Box-Muller draws."""
+            Pp = F - 1
+            cs2 = lattice.cs2
+            rhos = []
+            for p in range(F):
+                r = st[0][p]
+                for j in range(1, q):
+                    r = r + st[j][p]
+                # clipped hydro (D2Q9_multifield_diffusion.cl:62-75)
+                rhos.append(jnp.where((r < cutoff) | jnp.isnan(r), 0.0, r))
+            c_nut = rhos[Pp]
+
+            if noisy and not interpret:
+                pltpu.prng_seed(seed_ref[0, 0]
+                                ^ (k * np.int32(-1640531535)
+                                   + np.int32(stage * 40503)))
+            reacts = []
+            for p in range(Pp):
+                r = lb_G[p] * rhos[p] * c_nut
+                if lb_Dg[p]:
+                    if interpret:
+                        eta = _normal_from_hash(
+                            seed_ref[0, 0]
+                            ^ (k * np.int32(-1640531535)
+                               + np.int32(stage * 40503 + p * 7919)),
+                            c_nut.shape)
+                    else:
+                        eta = _normal_from_bits(c_nut.shape)
+                    # Milstein update (D2Q9_multifield_diffusion.cl:118-121)
+                    amp = jnp.sqrt(
+                        jnp.maximum(lb_Dg[p] * rhos[p] * c_nut, 0.0))
+                    r = (r + amp * eta
+                         + (lb_Dg[p] * 0.25) * c_nut * (eta * eta - 1.0))
+                reacts.append(r)
+            react_n = -reacts[0]
+            for p in range(1, Pp):
+                react_n = react_n - reacts[p]
+
+            out = [[None] * F for _ in range(q)]
+            for p in range(F):
+                om = omegas[p]
+                A = 1.0 - om
+                rho_p = rhos[p]
+                react = reacts[p] if p < Pp else react_n
+                badrho = rho_p < cutoff  # post-clip: catches clipped zeros
+                for j in range(q):
+                    cu = lattice.cx[j] * w_ulb + lattice.cy[j] * w_vlb
+                    coef = lattice.w[j] * (1.0 + cu / cs2)
+                    val = (st[j][p] * A + (om * coef) * rho_p
+                           + lattice.w[j] * react)
+                    bad = badrho | (val < 0) | jnp.isnan(val)
+                    out[j][p] = jnp.where(bad, 0.0, val)
+            return out
+
+        def chunk_step(ring, depth, k, stage=0):
             prev = (k - 1) % depth
             cur = k % depth
             nxt = (k + 1) % depth
@@ -1158,6 +1237,9 @@ def make_temporal_multifield_step(
                     else:
                         rows = ring[cur, pi, :, :]
                     st[j][p] = _lane_roll(rows, cxj, nx)
+
+            if expansion:
+                return _expansion_collide(st, k, stage)
 
             # no-flux walls + corners per field (D2Q9_multifield_fisher.cl:184-289)
             rowid = rowid0 + k * CH
@@ -1241,7 +1323,7 @@ def make_temporal_multifield_step(
 
             @pl.when(k < C)
             def _():
-                res = chunk_step(in_ring, _T2_NS, k)
+                res = chunk_step(in_ring, _T2_NS, k, stage=0)
                 for j in range(q):
                     for p in range(F):
                         mids[0][k % _T2_NM, j * F + p, :, :] = res[j][p]
@@ -1250,7 +1332,7 @@ def make_temporal_multifield_step(
                 @pl.when((k >= s_) & (k - s_ < C))
                 def _(s_=s_):
                     c = k - s_
-                    res = chunk_step(mids[s_ - 1], _T2_NM, c)
+                    res = chunk_step(mids[s_ - 1], _T2_NM, c, stage=s_)
                     for j in range(q):
                         for p in range(F):
                             mids[s_][c % _T2_NM, j * F + p, :, :] = res[j][p]
@@ -1263,7 +1345,7 @@ def make_temporal_multifield_step(
                 def _():
                     store(c - _T2_NO).wait()
 
-                res = chunk_step(mids[K - 2], _T2_NM, c)
+                res = chunk_step(mids[K - 2], _T2_NM, c, stage=K - 1)
                 for j in range(q):
                     for p in range(F):
                         out_ring[c % _T2_NO, j * F + p, :, :] = res[j][p]
@@ -1286,10 +1368,15 @@ def make_temporal_multifield_step(
         pltpu.SemaphoreType.DMA((_T2_NO,)),
     ]
 
+    if noisy:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pltpu.SMEM)]
+    else:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((P, ny, nx), dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=scratch,
         interpret=interpret,
@@ -1303,10 +1390,17 @@ def make_temporal_multifield_step(
         ),
     )
 
-    def stepK(f_qf):
-        """f_qf: [Q, F, ny, nx] -> same; internally flattened to [Q*F,...]."""
-        flat = f_qf.reshape(P, ny, nx)
-        out = call(flat)
-        return out.reshape(q, F, ny, nx)
+    if noisy:
+        def stepK(f_qf, seed):
+            """f_qf: [Q, F, ny, nx]; seed: int32 [1, 1]."""
+            flat = f_qf.reshape(P, ny, nx)
+            out = call(flat, seed)
+            return out.reshape(q, F, ny, nx)
+    else:
+        def stepK(f_qf):
+            """f_qf: [Q, F, ny, nx] -> same; internally flattened."""
+            flat = f_qf.reshape(P, ny, nx)
+            out = call(flat)
+            return out.reshape(q, F, ny, nx)
 
     return stepK

@@ -104,3 +104,45 @@ def test_multifield_temporal_kernel_parity():
         b = stepK(b)
     d = float(np.abs(np.asarray(a) - np.asarray(b)).max())
     assert d < 1e-6, d
+
+
+def test_expansion_temporal_kernel_dg0_parity():
+    """Expansion (Milstein) temporal kernel + periodic seam patch == K XLA
+    steps when the noise amplitude is zero (Nb=inf)."""
+    import jax.numpy as jnp
+
+    sim = Expansion(Lx=4.1, Ly=4.1, mu_standard=1.0, mu_list=[1.0, 0.8],
+                    D_standard=1.0, D_list=[1.0, 1.2], N=63, Nb=np.inf,
+                    Dc=1.0)
+    assert (sim.ny, sim.nx) == (128, 128)
+    stepK = sim._make_expansion_temporal_step(2, interpret=True)
+    xla = sim._make_xla_stochastic_step()
+    a = b = sim.state
+    for _ in range(3):
+        b = stepK(b)
+        a = xla(xla(a))
+    d = float(jnp.abs(a[0] - b[0]).max())
+    assert d < 1e-6, d
+
+
+def test_expansion_temporal_kernel_noisy():
+    """With noise on: finite, clipped to >= 0, reproducible for the same
+    key, growth consumes nutrient."""
+    sim = Expansion(Lx=4.1, Ly=4.1, mu_standard=1.0, mu_list=[1.0, 0.8],
+                    D_standard=1.0, D_list=[1.0, 1.2], N=63, Nb=10.0,
+                    Dc=1.0)
+    stepK = sim._make_expansion_temporal_step(2, interpret=True)
+    s = sim.state
+    rho0 = np.asarray(s[0]).sum(0)
+    for _ in range(5):
+        s = stepK(s)
+    f = np.asarray(s[0])
+    assert np.isfinite(f).all() and (f >= 0).all()
+    s2 = sim.state
+    for _ in range(5):
+        s2 = stepK(s2)
+    np.testing.assert_array_equal(f, np.asarray(s2[0]))
+    P = sim.num_populations
+    rho = f.sum(0)
+    assert rho[:P].sum() > rho0[:P].sum()      # populations grew
+    assert rho[P].sum() < rho0[P].sum()        # nutrient consumed
