@@ -5,14 +5,13 @@ from .diffusion import (
     ReactionAdvectionDiffusionStochastic,
     ReactionDiffusion,
 )
-from .lattice_units import LatticePipeFlow
+from .lattice_units import LatticePipeFlow, PipeFlowVelocityInlet
 from .multicomponent import Fluid, SimulationRunner
 from .multifield import Expansion, FisherExpansion
 from .pipe_flow import (
     PipeFlow,
     PipeFlowCylinder,
     PipeFlowObstacles,
-    PipeFlowVelocityInlet,
     disk_mask,
 )
 from .poisson import PoissonSolver

@@ -25,7 +25,7 @@ import numpy as np
 from ..core.lattice import D2Q9
 from .pipe_flow import PipeFlow
 
-__all__ = ["LatticePipeFlow"]
+__all__ = ["LatticePipeFlow", "PipeFlowVelocityInlet"]
 
 
 class LatticePipeFlow(PipeFlow):
@@ -102,3 +102,99 @@ class LatticePipeFlow(PipeFlow):
             "PipeFlow for unit conversions")
 
     get_physical_fields = get_nondim_fields
+
+
+class PipeFlowVelocityInlet(LatticePipeFlow):
+    """Zou-He velocity inlet/outlet with y-periodic walls
+    (``Pipe_Flow_PeriodicBC_VelocityInlet``, ``OLD/opencl.py:281-328``,
+    kernels ``D2Q9.cl:263-374``); the obstacle variant
+    (``OLD/opencl.py:329-375``) via ``obstacle_mask``. Like the reference
+    class this is a lattice-units model (the OLD module never grew a
+    physical-units version): uniform initial state rho = 1, u = u_w, v = 0
+    (``OLD/opencl.py:299-317``, no perturbation).
+
+    The fused kernels bake the *pressure* BCs, so this model always runs
+    the XLA step.
+
+    Stability fix (DIVERGENCES.md #20): the reference's
+    ``update_hydro_PeriodicBC_VelocityInlet`` (``D2Q9.cl:323-374``) overrides
+    rho/u on the boundary columns with a pre-move formula applied post-move;
+    that inconsistency makes the whole scheme explode within ~150 steps even
+    from the exact uniform initial condition at the reference's own notebook
+    defaults (verified against a numpy oracle of the reference update
+    order). We compute plain moments everywhere instead, which is stable
+    indefinitely (rho deviation stays at fp32 noise over 3000+ steps).
+    """
+
+    def __init__(self, u_w=0.1, omega=0.99, lx=400, ly=400,
+                 outlet="zero_gradient", **kwargs):
+        self.u_w = float(u_w)
+        self.u_e = float(u_w)
+        assert outlet in ("zero_gradient", "velocity")
+        self.outlet = outlet
+        kwargs.setdefault("backend", "xla")
+        assert kwargs["backend"] == "xla", "velocity-inlet BC is XLA-only"
+        super().__init__(omega=omega, lx=lx, ly=ly, deltaP=0.0, **kwargs)
+
+    def _fused_capable(self) -> bool:
+        return False  # velocity-inlet BC not in the fused kernel
+
+    def _bc_fn(self):
+        from ..ops.boundary import (
+            zou_he_velocity_bcs,
+            zou_he_velocity_inlet_open_outlet,
+        )
+
+        if self.outlet == "zero_gradient":
+            return lambda f: zou_he_velocity_inlet_open_outlet(f, self.u_w)
+        # outlet="velocity": the reference's (unstable) pair, for parity
+        return lambda f: zou_he_velocity_bcs(f, self.u_w, self.u_e)
+
+    def _init_state(self, rng):
+        ny, nx = self.ny, self.nx
+        rho0 = jnp.ones((ny, nx), self.dtype)
+        u0 = jnp.full((ny, nx), self.u_w, self.dtype)
+        v0 = jnp.zeros((ny, nx), self.dtype)
+        return self._feq_fn()(rho0, u0, v0)
+
+    def make_step(self):
+        from ..ops.collide import bgk
+        from ..ops.boundary import bounce_back_obstacle
+        from ..ops.moments import hydro_compressible
+        from ..ops.stream import stream
+
+        feq_fn = self._feq_fn()
+        bc_fn = self._bc_fn()
+        mask = self.obstacle_mask
+        omega = jnp.asarray(self.omega, self.dtype)
+        lattice = self.lattice
+
+        def step(f):
+            f = stream(f, lattice)
+            f = bc_fn(f)
+            if mask is not None:
+                f = bounce_back_obstacle(f, mask, lattice)
+            rho, u, v = hydro_compressible(f, lattice)
+            if mask is not None:
+                # obstacle variant zeroes velocity inside the mask
+                # (set_zero_velocity_in_obstacle, OLD/opencl.py:346-360)
+                u = jnp.where(mask, 0.0, u)
+                v = jnp.where(mask, 0.0, v)
+            feq = feq_fn(rho, u, v)
+            return bgk(f, feq, omega)
+
+        return step
+
+    def get_fields(self) -> dict:
+        from ..ops.moments import hydro_compressible
+
+        f = self.state
+        rho, u, v = hydro_compressible(f, self.lattice)
+        feq = self._feq_fn()(rho, u, v)
+        return {
+            "f": self._to_host_xy(f),
+            "feq": self._to_host_xy(feq),
+            "rho": self._to_host_xy(rho),
+            "u": self._to_host_xy(u),
+            "v": self._to_host_xy(v),
+        }

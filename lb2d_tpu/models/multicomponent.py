@@ -47,6 +47,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import time
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -496,18 +498,28 @@ class SimulationRunner:
         return self
 
     # ---- execution -----------------------------------------------------------
-    def run(self, num_iterations, debug=False):
+    def run(self, num_iterations, debug=False, timed=False):
         if self._run_jit is None:
             step = self._step
             self._run_jit = jax.jit(
                 lambda f, n: jax.lax.fori_loop(0, n, lambda i, s: step(s), f),
                 donate_argnums=0)
+        if timed and not getattr(self, "_warm", False):
+            # compile + sync outside the timed region (cf. LBModel.run)
+            self.f = self._run_jit(self.f, jnp.int32(0))
+            float(jnp.sum(jnp.ravel(self.f)[:8]))
+            self._warm = True
+        t0 = time.perf_counter() if timed else None
         if debug:
             for _ in range(num_iterations):
                 self.f = self._run_jit(self.f, jnp.int32(1))
                 self.check_fields()
         else:
             self.f = self._run_jit(self.f, jnp.int32(num_iterations))
+        if timed:
+            float(jnp.sum(jnp.ravel(self.f)[:8]))  # readback sync
+            dt = time.perf_counter() - t0
+            self.last_mlups = self.nx * self.ny * num_iterations / dt / 1e6
         self.steps_taken += num_iterations
         # refresh derived host-visible fields
         self._refresh_hydro()

@@ -45,7 +45,6 @@ __all__ = [
     "PipeFlow",
     "PipeFlowCylinder",
     "PipeFlowObstacles",
-    "PipeFlowVelocityInlet",
     "disk_mask",
 ]
 
@@ -397,83 +396,3 @@ class PipeFlowObstacles(PipeFlow):
         assert obstacle_mask is not None
         assert np.sum(np.asarray(obstacle_mask)) != 0
         super().__init__(obstacle_mask=obstacle_mask, **kwargs)
-
-
-class PipeFlowVelocityInlet(PipeFlow):
-    """Zou-He velocity inlet/outlet with y-periodic walls
-    (``Pipe_Flow_PeriodicBC_VelocityInlet``, ``OLD/python.py:318-415``, kernels
-    ``D2Q9.cl:263-374``). Uniform initial state: rho = 1, u = u_w, v = 0.
-    """
-
-    def __init__(self, u_w=0.1, **kwargs):
-        self.u_w = float(u_w)
-        self.u_e = float(u_w)
-        super().__init__(**kwargs)
-
-    def _fused_capable(self) -> bool:
-        return False  # velocity-inlet BC not in the fused kernel yet
-
-    def _bc_fn(self):
-        return lambda f: zou_he_velocity_bcs(f, self.u_w, self.u_e)
-
-    def _init_state(self, rng):
-        ny, nx = self.ny, self.nx
-        rho0 = jnp.ones((ny, nx), self.dtype)
-        u0 = jnp.full((ny, nx), self.u_w, self.dtype)
-        v0 = jnp.zeros((ny, nx), self.dtype)
-        feq0 = self._feq_fn()(rho0, u0, v0)
-        perturb = 1.0 + 0.001 * rng.randn(self.lattice.q, ny, nx)
-        return feq0 * jnp.asarray(perturb, self.dtype)
-
-    def make_step(self):
-        feq_fn = self._feq_fn()
-        bc_fn = self._bc_fn()
-        mask = self.obstacle_mask
-        omega = jnp.asarray(self.omega, self.dtype)
-        lattice = self.lattice
-        u_w, u_e = self.u_w, self.u_e
-
-        def hydro_velocity_inlet(f):
-            # update_hydro_PeriodicBC_VelocityInlet (D2Q9.cl:323-374):
-            # bulk moments, then rho/u overridden on the inlet/outlet columns.
-            rho, u, v = hydro_compressible(f, lattice)
-            interior = slice(1, -1)
-            s = f[:, interior, 0]
-            rho_w = (1.0 / (1.0 - u_w)) * (
-                s[0] + s[2] + s[4] + 2 * (s[3] + s[6] + s[7]))
-            s = f[:, interior, -1]
-            rho_e = (1.0 / (1.0 + u_e)) * (
-                s[0] + s[2] + s[4] + 2 * (s[1] + s[5] + s[8]))
-            rho = rho.at[interior, 0].set(rho_w).at[interior, -1].set(rho_e)
-            u = u.at[interior, 0].set(u_w).at[interior, -1].set(u_e)
-            return rho, u, v
-
-        self._hydro_override = hydro_velocity_inlet
-
-        def step(f):
-            f = stream(f, lattice)
-            f = bc_fn(f)
-            if mask is not None:
-                f = bounce_back_obstacle(f, mask, lattice)
-            rho, u, v = hydro_velocity_inlet(f)
-            if mask is not None:
-                # Obstacle variant zeroes velocity after hydro
-                # (OLD/python.py:475-530 pattern).
-                u = jnp.where(mask, 0.0, u)
-                v = jnp.where(mask, 0.0, v)
-            feq = feq_fn(rho, u, v)
-            return bgk(f, feq, omega)
-
-        return step
-
-    def get_fields(self) -> dict:
-        f = self.state
-        rho, u, v = self._hydro_override(f)
-        feq = self._feq_fn()(rho, u, v)
-        return {
-            "f": self._to_host_xy(f),
-            "feq": self._to_host_xy(feq),
-            "rho": self._to_host_xy(rho),
-            "u": self._to_host_xy(u),
-            "v": self._to_host_xy(v),
-        }

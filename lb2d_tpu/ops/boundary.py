@@ -24,6 +24,7 @@ __all__ = [
     "zou_he_pressure_bcs",
     "zou_he_pressure_bcs_incompressible",
     "zou_he_velocity_bcs",
+    "zou_he_velocity_inlet_open_outlet",
     "bounce_back_obstacle",
 ]
 
@@ -131,40 +132,68 @@ def _walls_and_corners(f, inlet_rho, outlet_rho):
 
 
 def zou_he_velocity_bcs(f: jnp.ndarray, u_w: float, u_e: float) -> jnp.ndarray:
-    """Velocity inlet/outlet with periodic top/bottom walls, exactly as
-    ``move_bcs_PeriodicBC_VelocityInlet`` (``D2Q9.cl:263-321``): imposed
-    x-velocity ``u_w`` on the west column and ``u_e`` on the east column,
-    y-periodic copies of the wall-incoming populations.
+    """Velocity inlet/outlet with periodic top/bottom walls
+    (``move_bcs_PeriodicBC_VelocityInlet``, ``D2Q9.cl:263-321``): imposed
+    x-velocity ``u_w`` on the west column and ``u_e`` on the east column.
+
+    Divergence from the reference kernel (wrap-compatibility rewrite): the
+    reference pairs this BC with a *non-wrapping* scatter, so (a) its
+    north/south rows copy the y-incoming populations from the opposite wall
+    to emulate the periodic wrap, and (b) the four corner cells receive no
+    BC at all (they keep stale pre-move values). Our streaming wraps
+    natively, making (a) redundant — the wrap IS the periodic wall — while
+    (b) would let outlet populations wrapped around the x-axis feed back
+    into the inlet corners (unstable). We therefore drop the y-copies and
+    apply the inlet/outlet formulas on the FULL columns, which rewrites
+    exactly the x-wrapped populations everywhere.
     """
     dt = f.dtype
     u_w = jnp.asarray(u_w, dt)
     u_e = jnp.asarray(u_e, dt)
 
-    # inlet x=0, interior rows (D2Q9.cl:291-296)
-    s = f[:, 1:-1, 0]
+    # inlet x=0, full column (D2Q9.cl:291-296 formulas)
+    s = f[:, :, 0]
     rho_w = (1.0 / (1.0 - u_w)) * (s[0] + s[2] + s[4] + 2 * (s[3] + s[6] + s[7]))
     in1 = s[3] + (2.0 / 3.0) * rho_w * u_w
     in5 = s[7] - 0.5 * (s[2] - s[4]) + (1.0 / 6.0) * rho_w * u_w
     in8 = s[6] + 0.5 * (s[2] - s[4]) + (1.0 / 6.0) * rho_w * u_w
 
-    # outlet x=nx-1 (D2Q9.cl:298-303)
-    s = f[:, 1:-1, -1]
+    # outlet x=nx-1, full column (D2Q9.cl:298-303 formulas)
+    s = f[:, :, -1]
     rho_e = (1.0 / (1.0 + u_e)) * (s[0] + s[2] + s[4] + 2 * (s[1] + s[5] + s[8]))
     out3 = s[1] - (2.0 / 3.0) * rho_e * u_e
     out6 = s[5] + 0.5 * (s[2] - s[4]) - (1.0 / 6.0) * rho_e * u_e
     out7 = s[8] - 0.5 * (s[2] - s[4]) - (1.0 / 6.0) * rho_e * u_e
 
-    # periodic y walls over the full row (D2Q9.cl:305-318):
-    # north row pulls 4,8,7 from y=0; south row pulls 2,6,5 from y=ny-1.
-    north = {j: f[j, 0, :] for j in (4, 8, 7)}
-    south = {j: f[j, -1, :] for j in (2, 6, 5)}
+    f = f.at[1, :, 0].set(in1).at[5, :, 0].set(in5).at[8, :, 0].set(in8)
+    f = f.at[3, :, -1].set(out3).at[6, :, -1].set(out6).at[7, :, -1].set(out7)
+    return f
 
-    f = f.at[1, 1:-1, 0].set(in1).at[5, 1:-1, 0].set(in5).at[8, 1:-1, 0].set(in8)
-    f = f.at[3, 1:-1, -1].set(out3).at[6, 1:-1, -1].set(out6).at[7, 1:-1, -1].set(out7)
-    for j, row in north.items():
-        f = f.at[j, -1, :].set(row)
-    for j, row in south.items():
-        f = f.at[j, 0, :].set(row)
+
+def zou_he_velocity_inlet_open_outlet(f: jnp.ndarray, u_w: float) -> jnp.ndarray:
+    """Zou-He velocity inlet (west) + zero-gradient open outflow (east),
+    periodic top/bottom.
+
+    The reference's velocity-velocity pair (``D2Q9.cl:263-321``) is
+    *linearly unstable* — its own notebooks blow up within ~150 steps (see
+    DIVERGENCES.md #20/#21) — so this is the working formulation of the
+    inlet-driven-flow experiments those notebooks attempt: the outlet's
+    domain-entering populations are copied from the neighboring column
+    (same zero-gradient closure the multicomponent engine uses,
+    ``single_component.py`` ``zero_gradient`` BC).
+    """
+    dt = f.dtype
+    u_w = jnp.asarray(u_w, dt)
+
+    s = f[:, :, 0]
+    rho_w = (1.0 / (1.0 - u_w)) * (s[0] + s[2] + s[4] + 2 * (s[3] + s[6] + s[7]))
+    in1 = s[3] + (2.0 / 3.0) * rho_w * u_w
+    in5 = s[7] - 0.5 * (s[2] - s[4]) + (1.0 / 6.0) * rho_w * u_w
+    in8 = s[6] + 0.5 * (s[2] - s[4]) + (1.0 / 6.0) * rho_w * u_w
+    f = f.at[1, :, 0].set(in1).at[5, :, 0].set(in5).at[8, :, 0].set(in8)
+    # outlet: normal-gradient-free copy of the upstream column
+    for j in (3, 6, 7):
+        f = f.at[j, :, -1].set(f[j, :, -2])
     return f
 
 

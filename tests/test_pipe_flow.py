@@ -173,3 +173,52 @@ def test_lattice_units_api():
     assert Re > 0 and Ma > 0
     with pytest.raises(NotImplementedError):
         sim.get_nondim_fields()
+
+
+class TestVelocityInlet:
+    """PipeFlowVelocityInlet (OLD/opencl.py:281-375) with the stability
+    fixes of DIVERGENCES.md #20-21."""
+
+    def test_plug_flow_is_steady(self):
+        from lb2d_tpu.models import PipeFlowVelocityInlet
+
+        sim = PipeFlowVelocityInlet(u_w=0.05, omega=1.2, lx=31, ly=15)
+        sim.run(500)
+        fl = sim.get_fields()
+        assert np.abs(fl["u"] - 0.05).max() < 1e-5
+        assert np.abs(fl["v"]).max() < 1e-6
+        assert np.abs(fl["rho"] - 1.0).max() < 1e-5
+
+    def test_perturbation_decays(self):
+        import jax.numpy as jnp
+
+        from lb2d_tpu.models import PipeFlowVelocityInlet
+
+        rng = np.random.RandomState(0)
+        sim = PipeFlowVelocityInlet(u_w=0.05, omega=1.2, lx=31, ly=15)
+        sim.state = sim.state * jnp.asarray(
+            1 + 0.01 * rng.randn(*sim.state.shape), sim.dtype)
+        sim.run(1500)
+        fl = sim.get_fields()
+        assert np.isfinite(fl["f"]).all()
+        assert np.abs(fl["u"] - 0.05).max() < 1e-4
+
+    def test_obstacle_wake(self):
+        from lb2d_tpu.models import PipeFlowVelocityInlet
+
+        mask = np.zeros((16, 32), bool)
+        mask[6:10, 12:16] = True
+        sim = PipeFlowVelocityInlet(u_w=0.05, omega=1.2, lx=31, ly=15,
+                                    obstacle_mask=mask)
+        sim.run(800)
+        fl = sim.get_fields()
+        assert np.isfinite(fl["f"]).all()
+        assert np.abs(fl["v"]).max() > 1e-3     # flow deflects around it
+
+    def test_reference_velocity_pair_available(self):
+        from lb2d_tpu.models import PipeFlowVelocityInlet
+
+        sim = PipeFlowVelocityInlet(u_w=0.05, omega=1.2, lx=31, ly=15,
+                                    outlet="velocity")
+        sim.run(20)  # short horizon: the reference pair is unstable (#21)
+        assert np.isfinite(sim.get_fields()["f"]).all()
