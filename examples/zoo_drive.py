@@ -22,6 +22,10 @@ import numpy as np
 def drive(name, build, steps, field="rho"):
     """Build a model, run `steps`, pull a field, report [name, backend,
     mlups, status]."""
+    import gc
+
+    import jax
+
     try:
         sim = build()
         backend = getattr(sim, "backend", None) or (
@@ -35,6 +39,12 @@ def drive(name, build, steps, field="rho"):
     except Exception as e:  # keep driving the rest of the zoo
         traceback.print_exc()
         return [name, "-", "-", f"FAIL: {type(e).__name__}: {e}"]
+    finally:
+        # release device buffers + executables between models so the big
+        # grids don't accumulate HBM across the whole zoo
+        sim = None
+        gc.collect()
+        jax.clear_caches()
 
 
 def main(steps=200, big=False):
@@ -42,34 +52,37 @@ def main(steps=200, big=False):
 
     n_flow = 1023 if big else 255
     n_diff = 341 if big else 63  # 2048^2 / 128^2 with the +2 ring
+    d_lx = 0.61 if big else 0.21
     zoo = [
         ("PipeFlow", lambda: M.PipeFlow(
             N=n_flow, pipe_length=(n_flow + 0.5) / n_flow, diameter=1.0,
             rho=1.0, viscosity=1.0, pressure_grad=-10.0)),
+        # N counts cells per cylinder DIAMETER here (characteristic
+        # length), so the grid is ~5N x 5N: N=255 is already 2560^2
         ("PipeFlowCylinder", lambda: M.PipeFlowCylinder(
-            N=n_flow, pipe_length=(n_flow + 0.5) / n_flow, diameter=1.0,
+            N=255, pipe_length=1.0, diameter=1.0,
             rho=1.0, viscosity=1.0, pressure_grad=-10.0,
             cylinder_center=(0.5, 0.5), cylinder_radius=0.1)),
         ("PipeFlowVelocityInlet", lambda: M.PipeFlowVelocityInlet(
             u_w=0.05, omega=1.2, lx=n_flow, ly=n_flow)),
         ("LatticePipeFlow", lambda: M.LatticePipeFlow(
             omega=1.2, lx=n_flow, ly=n_flow, deltaP=-0.01)),
+        # big: Lx/z = 6 with N=341 -> 2048^2, kernel-aligned
         ("Diffusion", lambda: M.Diffusion(
-            Lx=0.21, Ly=0.21, z=0.1, N=2 * n_diff if big else n_diff)),
+            Lx=d_lx, Ly=d_lx, z=0.1, N=n_diff)),
         ("AdvectionDiffusion", lambda: M.AdvectionDiffusion(
-            Lx=0.21, Ly=0.21, z=0.1, N=n_diff, vx=1.0, vy=0.5, vc=1.0)),
+            Lx=d_lx, Ly=d_lx, z=0.1, N=n_diff, vx=1.0, vy=0.5, vc=1.0)),
         ("ReactionDiffusion", lambda: M.ReactionDiffusion(
-            Lx=0.21, Ly=0.21, z=0.1, N=n_diff, g=1.0)),
+            Lx=d_lx, Ly=d_lx, z=0.1, N=n_diff, g=1.0)),
         ("ReactionAdvectionDiffusion", lambda: M.ReactionAdvectionDiffusion(
-            Lx=0.21, Ly=0.21, z=0.1, N=n_diff, g=1.0, vx=1.0, vy=1.0,
+            Lx=d_lx, Ly=d_lx, z=0.1, N=n_diff, g=1.0, vx=1.0, vy=1.0,
             vc=1.0)),
         ("ReactionAdvectionDiffusionStochastic",
          lambda: M.ReactionAdvectionDiffusionStochastic(
-             Lx=0.21, Ly=0.21, z=0.1, N=n_diff, g=1.0, vx=1.0, vy=1.0,
+             Lx=d_lx, Ly=d_lx, z=0.1, N=n_diff, g=1.0, vx=1.0, vy=1.0,
              vc=1.0, Dg=0.05)),
         ("NoisyAdvectedFisherWave", lambda: M.NoisyAdvectedFisherWave(
-            N=n_diff, z=0.1, Lx=0.21 if not big else 0.61,
-            Ly=0.21 if not big else 0.61, D=1.0, g=10.0, Nc=10.0)),
+            N=n_diff, z=0.1, Lx=d_lx, Ly=d_lx, D=1.0, g=10.0, Nc=10.0)),
         ("ScreenedFisherWave", lambda: M.ScreenedFisherWave(
             Lx=1.0, Ly=1.0, vc=1.0, lam=0.5, R0=0.2, N=128 if big else 48)),
         ("RepellingFisherWave", lambda: M.RepellingFisherWave(
@@ -127,7 +140,10 @@ def main(steps=200, big=False):
         base = 0.5 + 0.05 * rng.rand(runner.ny, runner.nx)
         runner.fluid_list[0].initialize(base)
         runner.fluid_list[1].initialize(1.0 - base)
-        runner.add_interaction_force(0, 1, G_int=1.8, potential="linear")
+        # G=1.8 linear is past the stable quench depth at >=512^2 (rho
+        # overshoots negative and diverges); 1.5 demixes strongly and stays
+        # finite at every size
+        runner.add_interaction_force(0, 1, G_int=1.5, potential="linear")
         runner.run(steps, timed=True)
         rho = runner.get_fields()["rho"]
         rows.append(["SimulationRunner (Shan-Chen x2)", "xla",
