@@ -527,7 +527,7 @@ def make_fused_pipe_step(
             out[j, :, :] = res[j]
 
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),  # halo source (HBM)
+        pl.BlockSpec(memory_space=pl.ANY),  # halo source (HBM)
         pl.BlockSpec((q, T, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
     ]
     if has_obstacle:
@@ -747,8 +747,8 @@ def make_pipelined_pipe_step(
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((q, ny, nx), dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -1030,16 +1030,16 @@ def make_temporal_pipe_step(
         scratch += [pltpu.SemaphoreType.DMA((K + 3,))]
 
     if noisy:
-        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY),
                     pl.BlockSpec(memory_space=pltpu.SMEM)]
     else:
-        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * (
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * (
             2 if has_obstacle else 1)
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((q, ny, nx), dtype),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -1369,15 +1369,15 @@ def make_temporal_multifield_step(
     ]
 
     if noisy:
-        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY),
                     pl.BlockSpec(memory_space=pltpu.SMEM)]
     else:
-        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((P, ny, nx), dtype),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(

@@ -111,3 +111,58 @@ def test_time_steps_profiling():
     sim = PipeFlow(**PARAMS)
     res = time_steps(sim, num_steps=10, repeats=2)
     assert len(res) == 2 and all(r["mlups"] > 0 for r in res)
+
+
+def test_run_zero_steps_is_noop():
+    from lb2d_tpu.models import PipeFlow
+
+    sim = PipeFlow(N=31, pipe_length=1.0, diameter=1.0, rho=1.0,
+                   viscosity=1.0, pressure_grad=-10.0)
+    before = np.asarray(sim.state).copy()
+    sim.run(0)
+    np.testing.assert_array_equal(before, np.asarray(sim.state))
+    sim.run(0, timed=True)  # timed path handles n=0 too
+    assert sim.steps_taken == 0
+
+
+def test_run_below_steps_per_call_uses_remainder_path():
+    """A temporal-blocked model asked for fewer steps than one sweep must
+    fall back to single XLA steps and match a plain-XLA twin exactly."""
+    from lb2d_tpu.models.diffusion import Diffusion
+
+    sim = Diffusion(Lx=0.21, Ly=0.21, z=0.1, N=63)
+    sim.steps_per_call = 4
+    sim._single_step = sim._make_xla_step()
+    sim._step = sim._make_temporal_step(
+        4, __import__("lb2d_tpu.ops.fused", fromlist=["x"])
+        .make_temporal_pipe_step, interpret=True)
+    import jax
+    from functools import partial
+    from lb2d_tpu.models.base import _run_loop
+    sim._run_compiled = jax.jit(partial(_run_loop, sim._step),
+                                donate_argnums=0)
+    twin = Diffusion(Lx=0.21, Ly=0.21, z=0.1, N=63)
+    step = twin._make_xla_step()
+    ref = twin.state
+    for _ in range(3):
+        ref = step(ref)
+    sim.run(3)  # 3 < steps_per_call: pure remainder path
+    d = float(np.abs(np.asarray(sim.state) - np.asarray(ref)).max())
+    assert d < 1e-6, d
+
+
+def test_field_animator_multifield():
+    """FieldAnimator falls back to get_fields for models without
+    device_field and renders a uint8 frame."""
+    from lb2d_tpu.models.multifield import FisherExpansion
+    from lb2d_tpu.utils.render import FieldAnimator
+
+    sim = FisherExpansion(Lx=4.0, Ly=4.0, mu_standard=1.0, mu_list=[1.0],
+                          D_standard=1.0, D_list=[1.0], N=10,
+                          initial_frac_widths=[1.0],
+                          initial_frac_indices=[0])
+    anim = FieldAnimator(sim, field="rho", steps_per_frame=5)
+    frame = anim.frame()
+    assert frame.dtype == np.uint8
+    assert frame.ndim == 3 and frame.shape[-1] in (3, 4)
+    assert sim.steps_taken == 5
