@@ -170,11 +170,13 @@ class Diffusion(LBModel):
         # constant growth rate) can run the fused temporal kernel on TPU
         from ..ops.fused import make_temporal_pipe_step, supports_temporal
 
-        use_kernel = (jax.default_backend() == "tpu"
-                      and supports_temporal(self.ny, self.nx, 4)
-                      and self.ny >= 24 * 4)
-        if use_kernel:
-            return self._make_temporal_step(4, make_temporal_pipe_step)
+        # deepest K that fits (2048^2: K=4 9.1k / K=6 12.4k / K=8 14.2k
+        # MLUPS); the 6K-row seam-patch recompute stays negligible
+        for K in (8, 6, 4):
+            if (jax.default_backend() == "tpu"
+                    and supports_temporal(self.ny, self.nx, K)
+                    and self.ny >= 24 * K):
+                return self._make_temporal_step(K, make_temporal_pipe_step)
         return self._make_xla_step()
 
     def _make_temporal_step(self, K, make_temporal_pipe_step,
