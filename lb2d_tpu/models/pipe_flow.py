@@ -113,13 +113,15 @@ class PipeFlow(LBModel):
             nx_pad = -(-self.nx // 128) * 128
             if not (on_tpu and self._fused_capable()):
                 backend = "xla"
-            elif supports_temporal(self.ny, self.nx, 6):
+            elif any(supports_temporal(self.ny, self.nx, k)
+                     for k in (8, 6, 4, 2)):
                 backend = "temporal"
             elif supports_pipelined(self.ny, self.nx):
                 backend = "pipelined"
             elif supports_fused(self.ny, self.nx):
                 backend = "fused"
-            elif supports_temporal(ny_pad, nx_pad, 6):
+            elif any(supports_temporal(ny_pad, nx_pad, k)
+                     for k in (8, 6, 4, 2)):
                 # unaligned grid: run the temporal kernel on an edge-padded
                 # array. Safe for the flow family only: the x/y walls rewrite
                 # exactly the populations through which dead-lane/dead-row
@@ -235,7 +237,13 @@ class PipeFlow(LBModel):
             interpret=jax.default_backend() != "tpu",
         )
 
-    def _make_temporal_step(self, k_steps=6):
+    def _make_temporal_step(self, k_steps=None):
+        if k_steps is None:
+            # deepest K whose VMEM ring fits (4096^2: K=6 16.9k / K=8
+            # 18.3k MLUPS; obstacle rings shrink the budget the same way)
+            ny, nx = self._pad_dims or (self.ny, self.nx)
+            k_steps = next(k for k in (8, 6, 4, 2)
+                           if supports_temporal(ny, nx, k))
         has_obstacle = self.obstacle_mask is not None
         kw = self._kernel_kwargs()
         if self._pad_dims is not None:
