@@ -307,6 +307,12 @@ class FisherExpansion(_MultifieldBase):
     def get_fields(self):
         return self._fields_dict(self.state)
 
+    def device_field(self, name):
+        # total population density (renderer fast path)
+        if name == "rho":
+            return jnp.sum(self.state, axis=(0, 1))
+        return None
+
 
 class Expansion(_MultifieldBase):
     """Stochastic multifield range expansion with a consumable nutrient
@@ -461,3 +467,8 @@ class Expansion(_MultifieldBase):
     def get_fields(self):
         f, _ = self.state
         return self._fields_dict(f)
+
+    def device_field(self, name):
+        if name == "rho":
+            return jnp.sum(self.state[0], axis=(0, 1))
+        return None

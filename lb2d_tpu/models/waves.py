@@ -161,6 +161,11 @@ class NoisyAdvectedFisherWave(LBModel):
             "v": np.broadcast_to(np.asarray(self.v), (self.nx, self.ny)),
         }
 
+    def device_field(self, name):
+        if name == "rho":
+            return density(self.state[0])
+        return None
+
 
 class _ScreenedVelocity:
     """Per-step screened-Poisson velocity: ``(u, v) = -vc (dt/dx) grad
@@ -273,6 +278,11 @@ class ScreenedFisherWave(LBModel):
         rho = density(self.state)
         u, v = self._velocity(rho)
         return mach_number(u, v, self.lattice)
+
+    def device_field(self, name):
+        if name == "rho":
+            return density(self.state)
+        return None
 
     def get_fields(self):
         f = self.state
