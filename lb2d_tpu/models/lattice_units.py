@@ -19,6 +19,7 @@ verified order (stream -> BC) everywhere.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -158,6 +159,46 @@ class PipeFlowVelocityInlet(LatticePipeFlow):
         return self._feq_fn()(rho0, u0, v0)
 
     def make_step(self):
+        from ..ops.fused import supports_temporal
+
+        if (self.outlet == "zero_gradient" and self.obstacle_mask is None
+                and jax.default_backend() == "tpu"):
+            for K in (8, 6, 4):
+                if (supports_temporal(self.ny, self.nx, K)
+                        and self.ny >= 24 * K):
+                    self.backend = "temporal"
+                    return self._make_temporal_step(K)
+        return self._make_xla_step()
+
+    def _make_temporal_step(self, K, interpret=None):
+        """K-step temporal kernel (physics="velocity_inlet") + the
+        y-periodic seam band patch (same construction as the diffusion
+        family: the wrap seam rows within K of y=0 are recomputed with K
+        plain XLA steps on a 6K-row wrapped band)."""
+        from ..ops.fused import make_temporal_pipe_step
+
+        kw = {} if interpret is None else {"interpret": interpret}
+        kernel = make_temporal_pipe_step(
+            ny=self.ny, nx=self.nx, omega=float(self.omega),
+            physics="velocity_inlet", u_lb=float(self.u_w),
+            k_steps=K, dtype=self.dtype, **kw)
+        xla_step = self._make_xla_step()
+        B = 3 * K
+        band_idx = jnp.asarray(np.arange(-B, B) % self.ny)
+        patch_rows = jnp.asarray(np.arange(-K, K) % self.ny)
+
+        def stepK(f):
+            out = kernel(f)
+            band = f[:, band_idx, :]
+            for _ in range(K):
+                band = xla_step(band)
+            return out.at[:, patch_rows, :].set(band[:, B - K:B + K, :])
+
+        self.steps_per_call = K
+        self._single_step = xla_step
+        return stepK
+
+    def _make_xla_step(self):
         from ..ops.collide import bgk
         from ..ops.boundary import bounce_back_obstacle
         from ..ops.moments import hydro_compressible

@@ -312,6 +312,29 @@ def _normal_from_hash(seed_i32, shape):
     return _box_muller(b1, b2)
 
 
+def _velocity_inlet_tile(st, laneid, nx, u_w):
+    """Zou-He velocity inlet (lane 0) + zero-gradient open outlet
+    (lane nx-1), periodic top/bottom — the tile form of
+    :func:`lb2d_tpu.ops.boundary.zou_he_velocity_inlet_open_outlet`
+    (``D2Q9.cl:291-296`` inlet formulas; wrap-compatible full-column
+    application per DIVERGENCES.md #20-21)."""
+    lane0 = laneid == 0
+    laneN = laneid == nx - 1
+    c = [p[:, 0:1] for p in st]  # inlet column, [rows, 1] broadcast
+    rho_w = (1.0 / (1.0 - u_w)) * (c[0] + c[2] + c[4]
+                                   + 2.0 * (c[3] + c[6] + c[7]))
+    in1 = c[3] + (2.0 / 3.0) * rho_w * u_w
+    in5 = c[7] - 0.5 * (c[2] - c[4]) + (1.0 / 6.0) * rho_w * u_w
+    in8 = c[6] + 0.5 * (c[2] - c[4]) + (1.0 / 6.0) * rho_w * u_w
+    st[1] = jnp.where(lane0, in1, st[1])
+    st[5] = jnp.where(lane0, in5, st[5])
+    st[8] = jnp.where(lane0, in8, st[8])
+    # open outlet: domain-entering populations copy the upstream column
+    for j in (3, 6, 7):
+        st[j] = jnp.where(laneN, _lane_roll(st[j], 1, nx), st[j])
+    return st
+
+
 def _lane_roll(arr, shift, nx):
     if shift:
         return pltpu.roll(arr, shift % nx, axis=1)
@@ -837,11 +860,13 @@ def make_temporal_pipe_step(
     ny_p = ny_phys if ny_phys is not None else ny
     nx_p = nx_phys if nx_phys is not None else nx
     assert physics == "flow" or (ny_p == ny and nx_p == nx)
+    assert physics in ("flow", "diffusion", "noisy_fisher", "velocity_inlet")
     C = ny // CH
     q = lattice.q
     incompressible = equilibrium == "incompressible"
     diffusion = physics in ("diffusion", "noisy_fisher")
     noisy = physics == "noisy_fisher"
+    vel_inlet = physics == "velocity_inlet"
     w_inlet = np.asarray(inlet_rho, dtype)
     w_outlet = np.asarray(outlet_rho, dtype)
     w_omega = np.asarray(omega, dtype)
@@ -940,6 +965,12 @@ def make_temporal_pipe_step(
                                for j in range(q)]
                     res = [jnp.maximum(r, 0.0) for r in res]
                 return res
+            if vel_inlet:
+                # y-periodic; wrap seam patched at model level like the
+                # diffusion family
+                st = _velocity_inlet_tile(st, laneid, nx, w_ulb)
+                return _moments_feq_collide(st, None, w_omega, lattice,
+                                            incompressible, False)
             rowid = rowid0 + k * CH
             st = _zou_he_inout_narrow(st, rowid, laneid, ny_p, nx_p, w_inlet,
                                       w_outlet, incompressible)

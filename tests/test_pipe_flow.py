@@ -222,3 +222,23 @@ class TestVelocityInlet:
                                     outlet="velocity")
         sim.run(20)  # short horizon: the reference pair is unstable (#21)
         assert np.isfinite(sim.get_fields()["f"]).all()
+
+    def test_temporal_kernel_parity(self):
+        """physics="velocity_inlet" temporal kernel + y-seam patch == K XLA
+        steps (interpret mode)."""
+        import jax.numpy as jnp
+
+        from lb2d_tpu.models import PipeFlowVelocityInlet
+
+        sim = PipeFlowVelocityInlet(u_w=0.05, omega=1.2, lx=127, ly=95)
+        assert (sim.ny, sim.nx) == (96, 128)
+        stepK = sim._make_temporal_step(2, interpret=True)
+        xla = sim._make_xla_step()
+        rng = np.random.RandomState(0)
+        a = b = sim.state * jnp.asarray(
+            1 + 0.005 * rng.randn(*sim.state.shape), sim.dtype)
+        for _ in range(4):
+            b = stepK(b)
+            a = xla(xla(a))
+        d = float(jnp.abs(a - b).max())
+        assert d < 1e-6, d
