@@ -805,10 +805,15 @@ _T2_NO = 2       # output ring depth
 
 
 def supports_temporal(ny: int, nx: int, k_steps: int = 2) -> bool:
-    """K-step temporal blocking needs enough aligned chunks and 128-lane
-    rows."""
-    return (nx % 128 == 0 and ny % _T2_CH == 0
-            and ny // _T2_CH >= max(_T2_NS, 3 + k_steps))
+    """K-step temporal blocking needs enough aligned chunks, 128-lane rows,
+    and a VMEM ring that fits (4096-wide K=8 measures 82.6MB against the
+    100MB compiler budget; wider grids must drop K)."""
+    if not (nx % 128 == 0 and ny % _T2_CH == 0
+            and ny // _T2_CH >= max(_T2_NS, 3 + k_steps)):
+        return False
+    slots = _T2_NS + (k_steps - 1) * _T2_NM + _T2_NO
+    ring_bytes = slots * 9 * _T2_CH * nx * 4
+    return ring_bytes <= 88 * 1024 * 1024
 
 
 def make_temporal_pipe_step(
