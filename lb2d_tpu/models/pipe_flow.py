@@ -78,7 +78,7 @@ class PipeFlow(LBModel):
                  pressure_grad=None, pipe_length=None, N=200,
                  time_prefactor=1.0, equilibrium="compressible",
                  convention="W", obstacle_mask=None, seed=0,
-                 dtype=jnp.float32, backend="auto"):
+                 dtype=jnp.float32, backend="auto", init_state=True):
         self.units = FlowUnits(
             diameter=diameter, rho=rho, viscosity=viscosity,
             pressure_grad=pressure_grad, pipe_length=pipe_length, N=N,
@@ -132,6 +132,11 @@ class PipeFlow(LBModel):
                 backend = "xla"
         self.backend = backend
 
+        self.seed = seed
+        if not init_state:
+            # config-only construction (ShardedPipeFlow builds the state
+            # shard-wise instead of staging it on one device)
+            return
         self.state = self._init_state(np.random.RandomState(seed))
         if self._pad_dims is not None:
             py = self._pad_dims[0] - self.ny
@@ -155,7 +160,16 @@ class PipeFlow(LBModel):
         return self.nx * self.ny
 
     # --- initialization (opencl_dim.py:258-327) -------------------------------
-    def _init_state(self, rng: np.random.RandomState):
+    def _init_perturb(self, rng: np.random.RandomState) -> np.ndarray:
+        """0.1% multiplicative Gaussian perturbation, on host
+        (opencl_dim.py:318-321)."""
+        return (1.0 + 0.001 * rng.randn(self.lattice.q, self.ny, self.nx)
+                ).astype(np.float32)
+
+    def _init_from_perturb(self, perturb):
+        """Pure state init given the perturbation field: feq of the linear
+        density ramp times the perturbation. jit-able (ShardedPipeFlow runs
+        it with sharded outputs)."""
         ny, nx = self.ny, self.nx
         # Linear density ramp inlet -> outlet along x (opencl_dim.py:279-283).
         ramp = self.inlet_rho - np.arange(nx) * (
@@ -165,13 +179,12 @@ class PipeFlow(LBModel):
         u0 = jnp.zeros((ny, nx), self.dtype)
         v0 = jnp.zeros((ny, nx), self.dtype)
         rho0 = jnp.asarray(rho0, self.dtype)
+        feq0 = self._feq_fn()(rho0, u0, v0)
+        return feq0 * perturb
 
-        feq_fn = self._feq_fn()
-        feq0 = feq_fn(rho0, u0, v0)
-        # 0.1% multiplicative Gaussian perturbation (opencl_dim.py:318-321).
-        perturb = 1.0 + 0.001 * rng.randn(self.lattice.q, ny, nx)
-        f0 = feq0 * jnp.asarray(perturb, self.dtype)
-        return f0
+    def _init_state(self, rng: np.random.RandomState):
+        perturb = jnp.asarray(self._init_perturb(rng), self.dtype)
+        return self._init_from_perturb(perturb)
 
     # --- step construction ------------------------------------------------------
     def _feq_fn(self):

@@ -118,12 +118,14 @@ class PoissonSolver:
 
     def __init__(self, nx=None, ny=None, sources=None, delta_t=None,
                  delta_x=None, rho_on_boundary=0.0, tolerance=1e-6,
-                 seed=0, dtype=jnp.float32, sources_xy=False):
+                 seed=0, dtype=jnp.float32, sources_xy=False,
+                 check_every=10):
         self.nx, self.ny = int(nx), int(ny)
         self.delta_x = float(delta_x)
         self.delta_t = float(delta_t)
         self.rho_on_boundary = float(rho_on_boundary)
         self.tolerance = float(tolerance)
+        self.check_every = max(1, int(check_every))
         self.dtype = dtype
         self.lattice = D2Q9
 
@@ -154,6 +156,7 @@ class PoissonSolver:
             w=w, omega=self.omega, rho_b=self.rho_on_boundary,
             tol=self.tolerance, delta_t=self.delta_t, lb_D=self.lb_D,
             delta_x=self.delta_x, lattice=self.lattice,
+            check_every=self.check_every,
         )
 
     def update_source(self, new_source, sources_xy=False):
@@ -170,9 +173,21 @@ class PoissonSolver:
     def update_negative_gradient(self):
         self.u, self.v = negative_gradient(self.rho, self.delta_x)
 
-    def run(self, num_iterations: int):
+    def run(self, num_iterations: int, *, timed=False):
         """Iterate until convergence or ``num_iterations``; on convergence the
-        negative gradient is refreshed (``solver.py:324-358``)."""
+        negative gradient is refreshed (``solver.py:324-358``).
+
+        The convergence test runs every ``check_every`` iterations (the
+        reference pays a device->host reduction sync *per* iteration,
+        ``solver.py:348-352``; ``check_every=1`` reproduces that cadence
+        exactly, on-device). With ``timed=True`` records throughput in
+        ``last_mlups`` / ``last_solve_seconds``.
+        """
+        if timed:
+            import time
+            it_before = self.num_iterations
+            jax.block_until_ready(self.f)
+            t0 = time.perf_counter()
         f, rho, u, v, it, converged = self._run_jit(
             self.f, self.rho, self.u, self.v, self.scaled_sources,
             jnp.int32(self.num_iterations),
@@ -180,6 +195,11 @@ class PoissonSolver:
         self.f, self.rho, self.u, self.v = f, rho, u, v
         self.num_iterations = int(it)
         self.converged = bool(converged)
+        if timed:
+            dt = time.perf_counter() - t0
+            iters = self.num_iterations - it_before
+            self.last_solve_seconds = dt
+            self.last_mlups = self.nx * self.ny * iters / dt / 1e6
         return self
 
     def get_fields(self):
@@ -210,6 +230,7 @@ def _poisson_run(c, f, rho, u, v, scaled_sources, it0, it_max):
         return f, new_rho
 
     n_cells = rho.shape[0] * rho.shape[1]
+    check_every = int(c.get("check_every", 1))
 
     def cond(state):
         f, rho, rho_before, it, converged = state
@@ -217,6 +238,20 @@ def _poisson_run(c, f, rho, u, v, scaled_sources, it0, it_max):
 
     def body(state):
         f, rho, rho_before, it, _ = state
+        # advance check_every-1 unchecked iterations (bounded by it_max),
+        # then one checked iteration: the convergence metric still compares
+        # two *consecutive* rho fields, exactly as solver.py:348-352.
+        def unchecked(_, st):
+            f, rho, it = st
+            f2, rho2 = lbm_iter(f)
+            take = it < it_max - 1  # leave the last slot for the checked step
+            f = jax.tree.map(lambda a, b: jnp.where(take, a, b), f2, f)
+            rho = jnp.where(take, rho2, rho)
+            return f, rho, it + jnp.where(take, 1, 0)
+
+        if check_every > 1:
+            f, rho, it = jax.lax.fori_loop(
+                0, check_every - 1, unchecked, (f, rho, it))
         rho_before = rho
         f, rho = lbm_iter(f)
         it = it + 1

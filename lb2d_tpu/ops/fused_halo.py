@@ -1,0 +1,367 @@
+"""Halo-aware temporal-blocked kernel: the Pallas fast path *inside*
+``shard_map``.
+
+The reference scales nothing (single device, ``opencl_dim.py:239-240``); the
+XLA sharded step in :mod:`lb2d_tpu.parallel.sharded` scales but runs ~12x
+below the single-chip temporal kernel. This module closes that gap: the
+K-step temporal kernel of :mod:`lb2d_tpu.ops.fused` is reshaped to run on a
+*local shard* ``f_loc[q, H, nx]`` plus one CH-row halo chunk from each
+y-neighbor (exchanged with ``jax.lax.ppermute`` outside the kernel, over ICI
+on a real mesh).
+
+Correctness of the one-chunk halo: inside the kernel the halo chunks are
+processed like ordinary chunks but never stored. The halo chunk's outer edge
+reads a stale ring slot, so after internal stage ``s`` its ``s+1`` outermost
+rows are corrupt; the first stored chunk only ever reads the halo chunk's
+*innermost* row, which stays valid while ``K <= CH``. At global domain edges
+(flow physics) the wrapped-in halo data is garbage by construction and the
+wall/corner BCs rewrite exactly the populations streamed through it — the
+same argument as the unsharded kernel's y-wrap. For periodic physics
+(diffusion family) the ppermute ring *is* the true periodic wrap, so the
+sharded kernel needs no seam patch at all (unlike the unsharded temporal
+kernel, cf. DIVERGENCES.md #19).
+
+On a 1-device mesh the ppermute is the identity: the halo chunks are the
+local wrap rows and the kernel reproduces the unsharded temporal kernel's
+semantics bit-for-bit, at its full throughput (the two extra halo-chunk
+DMAs are ~2*CH/H of the sweep traffic).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.lattice import Lattice, D2Q9
+from .fused import (
+    _diffusion_collide,
+    _lane_roll,
+    _moments_feq_collide,
+    _normal_from_bits,
+    _normal_from_hash,
+    _velocity_inlet_tile,
+    _walls_corners_tile,
+    _zou_he_inout_narrow,
+)
+
+__all__ = [
+    "supports_temporal_halo",
+    "pick_halo_chunk",
+    "make_temporal_halo_step",
+]
+
+_NS = 5   # step-0 input ring depth
+_NM = 4   # intermediate ring depth per internal step
+_NO = 2   # output ring depth
+_VMEM_BUDGET = 88 * 1024 * 1024
+
+
+def _ring_slots(k_steps: int) -> int:
+    return _NS + (k_steps - 1) * _NM + _NO
+
+
+def pick_halo_chunk(H: int, nx: int, k_steps: int,
+                    num_fields: int = 1) -> int | None:
+    """Chunk height CH for the halo kernel on an ``H``-row shard: the halo
+    is exactly one chunk per side, so ``K <= CH``; DMA slices need 8-row
+    alignment; the VMEM rings must fit. Wide grids (nx=8192) drop to CH=8,
+    which is what lets them keep K=8 (ring bytes scale with CH*nx)."""
+    if nx % 128 != 0:
+        return None
+    for ch in (16, 8):
+        if k_steps > ch or H % ch:
+            continue
+        V = H // ch + 2  # virtual chunks incl. the two halo chunks
+        if V < max(_NS, 3 + k_steps):
+            continue
+        ring = _ring_slots(k_steps) * 9 * num_fields * ch * nx * 4
+        if ring <= _VMEM_BUDGET:
+            return ch
+    return None
+
+
+def supports_temporal_halo(H: int, nx: int, k_steps: int) -> bool:
+    return k_steps >= 1 and pick_halo_chunk(H, nx, k_steps) is not None
+
+
+def make_temporal_halo_step(
+    *,
+    ny: int,
+    nx: int,
+    H: int,
+    omega: float,
+    inlet_rho: float = 1.0,
+    outlet_rho: float = 1.0,
+    equilibrium: str = "compressible",
+    lattice: Lattice = D2Q9,
+    dtype=jnp.float32,
+    interpret: bool = False,
+    k_steps: int = 2,
+    physics: str = "flow",
+    u_lb: float = 0.0,
+    v_lb: float = 0.0,
+    lb_G: float = 0.0,
+    lb_Dg: float = 0.0,
+    chunk: int | None = None,
+):
+    """Build ``stepK(f_loc, top_halo, bot_halo, y0 [, seed]) -> f_loc``
+    advancing one y-shard by ``k_steps`` LB steps.
+
+    ``f_loc`` is ``[q, H, nx]`` (the shard's rows, global rows
+    ``[y0, y0+H)``), ``top_halo``/``bot_halo`` are ``[q, CH, nx]`` — the
+    previous neighbor's *last* CH rows and the next neighbor's *first* CH
+    rows at the current time step. ``y0`` is an int32 ``[1, 1]`` array (the
+    shard's global row offset; traced, so one kernel serves every shard in
+    the SPMD program). ``seed`` (noisy_fisher only) is an int32 ``[1, 1]``
+    per-(step-group, shard) seed for the on-core PRNG.
+
+    ``k_steps=1`` degenerates to a halo'd single-sweep pipelined kernel
+    (no intermediate rings).
+    """
+    K = int(k_steps)
+    assert K >= 1
+    CH = chunk if chunk is not None else pick_halo_chunk(H, nx, K)
+    if CH is None or K > CH or H % CH:
+        raise ValueError(f"no halo-temporal tiling for shard {H}x{nx}, K={K}")
+    C = H // CH        # stored chunks
+    V = C + 2          # virtual chunks: halo, C body chunks, halo
+    assert V >= max(_NS, 3 + K), (V, K)
+    q = lattice.q
+    incompressible = equilibrium == "incompressible"
+    assert physics in ("flow", "diffusion", "noisy_fisher", "velocity_inlet")
+    diffusion = physics in ("diffusion", "noisy_fisher")
+    noisy = physics == "noisy_fisher"
+    vel_inlet = physics == "velocity_inlet"
+    w_inlet = np.asarray(inlet_rho, dtype)
+    w_outlet = np.asarray(outlet_rho, dtype)
+    w_omega = np.asarray(omega, dtype)
+    w_ulb = np.asarray(u_lb, dtype)
+    w_vlb = np.asarray(v_lb, dtype)
+    w_G = np.asarray(lb_G, dtype)
+
+    def kernel(*refs):
+        if noisy:
+            f_hbm, top_hbm, bot_hbm, y0_ref, seed_ref, out_hbm = refs[:6]
+            rest = refs[6:]
+        else:
+            f_hbm, top_hbm, bot_hbm, y0_ref, out_hbm = refs[:5]
+            seed_ref = None
+            rest = refs[5:]
+        in_ring = rest[0]
+        mids = rest[1:K]            # K-1 intermediate rings
+        out_ring = rest[K]
+        sem_in, sem_out = rest[K + 1:]
+
+        y0 = y0_ref[0, 0]
+        laneid = jax.lax.broadcasted_iota(jnp.int32, (CH, nx), 1)
+        rowid0 = jax.lax.broadcasted_iota(jnp.int32, (CH, nx), 0)
+
+        def load(c):
+            """Start the DMA for virtual chunk c: 0 -> top halo, 1..C ->
+            f_loc chunk c-1, C+1 -> bottom halo. All three sources have the
+            same [q, CH, nx] shape, so one wait descriptor serves them."""
+            slot = c % _NS
+
+            @pl.when(c == 0)
+            def _():
+                pltpu.make_async_copy(
+                    top_hbm, in_ring.at[slot], sem_in.at[slot]).start()
+
+            @pl.when((c >= 1) & (c <= C))
+            def _():
+                pltpu.make_async_copy(
+                    f_hbm.at[:, pl.ds(
+                        pl.multiple_of((c - 1) * CH, CH), CH), :],
+                    in_ring.at[slot], sem_in.at[slot]).start()
+
+            @pl.when(c == V - 1)
+            def _():
+                pltpu.make_async_copy(
+                    bot_hbm, in_ring.at[slot], sem_in.at[slot]).start()
+
+        def load_wait(c):
+            slot = c % _NS
+            pltpu.make_async_copy(
+                top_hbm, in_ring.at[slot], sem_in.at[slot]).wait()
+
+        def store(c):
+            """Store virtual chunk c (1 <= c <= C) to out rows (c-1)*CH."""
+            return pltpu.make_async_copy(
+                out_ring.at[c % _NO],
+                out_hbm.at[:, pl.ds(
+                    pl.multiple_of((c - 1) * CH, CH), CH), :],
+                sem_out.at[c % _NO])
+
+        def chunk_step(ring, depth, c, stage):
+            """One LB step for virtual chunk c; halos from ring chunks
+            c-1 / c+1 (stale slots at the block edges feed only the halo
+            chunks' outer rows, which are never stored)."""
+            prev = (c - 1) % depth
+            cur = c % depth
+            nxt = (c + 1) % depth
+            st = []
+            for j in range(q):
+                cxj, cyj = lattice.cx[j], lattice.cy[j]
+                if cyj == 1:
+                    rows = jnp.concatenate(
+                        [ring[prev, j, CH - 1:CH, :],
+                         ring[cur, j, 0:CH - 1, :]], axis=0)
+                elif cyj == -1:
+                    rows = jnp.concatenate(
+                        [ring[cur, j, 1:CH, :],
+                         ring[nxt, j, 0:1, :]], axis=0)
+                else:
+                    rows = ring[cur, j, :, :]
+                st.append(_lane_roll(rows, cxj, nx))
+            if diffusion:
+                res = _diffusion_collide(st, w_omega, w_ulb, w_vlb,
+                                         w_G if lb_G else 0.0, lattice)
+                if noisy:
+                    # multiplicative demographic noise + negativity clip
+                    # (D2Q9_diffusion.cl:126-167); seed mixes the caller's
+                    # per-(sweep, shard) seed with (chunk, stage)
+                    rho = st[0]
+                    for j in range(1, q):
+                        rho = rho + st[j]
+                    if lb_Dg:
+                        seed = (seed_ref[0, 0]
+                                ^ (c * np.int32(-1640531535)
+                                   + np.int32(stage * 40503)))
+                        if interpret:
+                            eta = _normal_from_hash(seed, rho.shape)
+                        else:
+                            pltpu.prng_seed(seed)
+                            eta = _normal_from_bits(rho.shape)
+                        noise = jnp.sqrt(
+                            jnp.maximum(lb_Dg * rho * (1.0 - rho), 0.0)) * eta
+                        res = [res[j] + lattice.w[j] * noise
+                               for j in range(q)]
+                    res = [jnp.maximum(r, 0.0) for r in res]
+                return res
+            if vel_inlet:
+                st = _velocity_inlet_tile(st, laneid, nx, w_ulb)
+                return _moments_feq_collide(st, None, w_omega, lattice,
+                                            incompressible, False)
+            rowid = rowid0 + ((c - 1) * CH + y0)
+            st = _zou_he_inout_narrow(st, rowid, laneid, ny, nx, w_inlet,
+                                      w_outlet, incompressible)
+            st = _walls_corners_tile(st, rowid, laneid, ny, nx, w_inlet,
+                                     w_outlet)
+            return _moments_feq_collide(st, None, w_omega, lattice,
+                                        incompressible,
+                                        zero_vel_in_obstacle=False)
+
+        # prologue: three loads in flight
+        load(0)
+        load(1)
+        load(2)
+
+        def final_stage(c):
+            """Last internal step on virtual chunk c + store (body chunks
+            only)."""
+            src = mids[K - 2] if K >= 2 else in_ring
+            depth = _NM if K >= 2 else _NS
+            res = chunk_step(src, depth, c, stage=K - 1)
+
+            @pl.when((c >= 1) & (c <= C))
+            def _():
+                # slot reuse: wait for the store issued _NO chunks ago
+                @pl.when(c >= _NO + 1)
+                def _():
+                    store(c - _NO).wait()
+
+                for j in range(q):
+                    out_ring[c % _NO, j, :, :] = res[j]
+                store(c).start()
+
+        def body(k, _):
+            @pl.when(k == 0)
+            def _():
+                load_wait(0)
+
+            @pl.when(k + 1 < V)
+            def _():
+                load_wait(k + 1)
+
+            if K == 1:
+                @pl.when(k < V)
+                def _():
+                    final_stage(k)
+            else:
+                # stage 0 (from input ring) on chunk k
+                @pl.when(k < V)
+                def _():
+                    res = chunk_step(in_ring, _NS, k, stage=0)
+                    for j in range(q):
+                        mids[0][k % _NM, j, :, :] = res[j]
+
+                # intermediate stages s = 1..K-2 on chunk k - s
+                for s in range(1, K - 1):
+                    @pl.when((k >= s) & (k - s < V))
+                    def _(s=s):
+                        c = k - s
+                        res = chunk_step(mids[s - 1], _NM, c, stage=s)
+                        for j in range(q):
+                            mids[s][c % _NM, j, :, :] = res[j]
+
+                # final stage on chunk k - (K-1)
+                @pl.when((k >= K - 1) & (k - (K - 1) < V))
+                def _():
+                    final_stage(k - (K - 1))
+
+            @pl.when(k + 3 < V)
+            def _():
+                load(k + 3)
+            return 0
+
+        jax.lax.fori_loop(0, V + K - 1, body, 0)
+        if C >= 2:
+            store(C - 1).wait()
+        store(C).wait()
+
+    scratch = [pltpu.VMEM((_NS, q, CH, nx), dtype)]
+    scratch += [pltpu.VMEM((_NM, q, CH, nx), dtype) for _ in range(K - 1)]
+    scratch += [pltpu.VMEM((_NO, q, CH, nx), dtype)]
+    scratch += [
+        pltpu.SemaphoreType.DMA((_NS,)),
+        pltpu.SemaphoreType.DMA((_NO,)),
+    ]
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),      # f_loc
+        pl.BlockSpec(memory_space=pl.ANY),      # top halo chunk
+        pl.BlockSpec(memory_space=pl.ANY),      # bottom halo chunk
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # y0
+    ]
+    if noisy:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # seed
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((q, H, nx), dtype),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=220 * K * H * nx,
+            bytes_accessed=2 * q * H * nx * 4,
+            transcendentals=0,
+        ),
+    )
+
+    if noisy:
+        def stepK(f_loc, top_halo, bot_halo, y0, seed):
+            return call(f_loc, top_halo, bot_halo, y0, seed)
+    else:
+        def stepK(f_loc, top_halo, bot_halo, y0):
+            return call(f_loc, top_halo, bot_halo, y0)
+
+    stepK.chunk = CH
+    return stepK

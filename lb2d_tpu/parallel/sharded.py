@@ -20,9 +20,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.lattice import Lattice, D2Q9
 from ..ops.fused import _moments_feq_collide, _zou_he_tile
-from .halo import extend_with_halo
+from ..ops.fused_halo import make_temporal_halo_step, supports_temporal_halo
+from .halo import _ring_shift, extend_with_halo
 
-__all__ = ["make_sharded_pipe_step", "make_mesh", "ShardedPipeFlow"]
+__all__ = [
+    "make_sharded_pipe_step",
+    "make_sharded_temporal_step",
+    "make_mesh",
+    "ShardedPipeFlow",
+]
 
 
 def make_mesh(n_devices: int | None = None, shape: tuple[int, int] | None = None,
@@ -31,6 +37,10 @@ def make_mesh(n_devices: int | None = None, shape: tuple[int, int] | None = None
     factored as square as possible unless ``shape`` is given."""
     devices = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} devices are available")
         devices = devices[:n_devices]
     n = len(devices)
     if shape is None:
@@ -110,26 +120,106 @@ def make_sharded_pipe_step(
     return step, f_sharding
 
 
+def make_sharded_temporal_step(
+    *,
+    mesh: Mesh,
+    ny: int,
+    nx: int,
+    omega: float,
+    inlet_rho: float,
+    outlet_rho: float,
+    equilibrium: str = "compressible",
+    lattice: Lattice = D2Q9,
+    dtype=jnp.float32,
+    k_steps: int | None = None,
+    interpret: bool = False,
+):
+    """Build a ``shard_map``-wrapped K-step Pallas group step.
+
+    Each call advances the whole sharded grid ``k_steps`` LB steps: one
+    CH-row halo chunk is ``ppermute``d from each y-neighbor (ICI on a real
+    mesh), then each shard runs the K-deep temporal kernel locally — the
+    full single-chip fast path (``ops/fused_halo.py``) inside the
+    distributed program, instead of the slow XLA roll path.
+
+    Requires a 1-D y decomposition (``mesh.shape["x"] == 1``): lane (x)
+    rolls wrap within the full row. Returns ``(stepK, sharding, K)``.
+    """
+    my, mx = mesh.shape["y"], mesh.shape["x"]
+    if mx != 1:
+        raise ValueError("temporal sharded step needs an x-unsharded mesh")
+    if ny % my:
+        raise ValueError(f"ny={ny} must divide mesh y={my}")
+    H = ny // my
+    if k_steps is None:
+        k_steps = next((k for k in (8, 6, 4, 2, 1)
+                        if supports_temporal_halo(H, nx, k)), None)
+        if k_steps is None:
+            raise ValueError(f"no halo-temporal tiling for shard {H}x{nx}")
+    kernel = make_temporal_halo_step(
+        ny=ny, nx=nx, H=H, omega=omega, inlet_rho=inlet_rho,
+        outlet_rho=outlet_rho, equilibrium=equilibrium, lattice=lattice,
+        dtype=dtype, interpret=interpret, k_steps=k_steps)
+    CH = kernel.chunk
+
+    def local_step(f_loc):
+        top = f_loc[:, H - CH:, :]   # my last rows -> next shard's top halo
+        bot = f_loc[:, :CH, :]       # my first rows -> prev shard's bottom
+        if my > 1:
+            top = _ring_shift(top, "y", +1)   # receive from prev y
+            bot = _ring_shift(bot, "y", -1)   # receive from next y
+        y0 = (jax.lax.axis_index("y") * H).astype(jnp.int32).reshape(1, 1)
+        return kernel(f_loc, top, bot, y0)
+
+    f_spec = P(None, "y", "x")
+    # check_vma=False: pallas_call outputs carry no varying-across-mesh
+    # annotation, which the jax>=0.9 shard_map checker rejects.
+    stepK = jax.shard_map(local_step, mesh=mesh, in_specs=(f_spec,),
+                          out_specs=f_spec, check_vma=False)
+    return stepK, NamedSharding(mesh, f_spec), k_steps
+
+
 class ShardedPipeFlow:
     """Pipe flow sharded over a TPU mesh — API mirrors
     :class:`lb2d_tpu.models.pipe_flow.PipeFlow` (same physics, nondim, and
-    getters) with the grid domain-decomposed over ``mesh``."""
+    getters) with the grid domain-decomposed over ``mesh``.
 
-    def __init__(self, mesh: Mesh | None = None, **kwargs):
+    ``backend="auto"`` runs the K-step temporal Pallas kernel inside
+    ``shard_map`` (y-decomposed meshes, no obstacle), falling back to the
+    XLA halo-exchange step otherwise. State is initialized shard-wise (the
+    full ``f`` never stages on a single device) and ``get_fields`` computes
+    moments on the sharded state.
+    """
+
+    def __init__(self, mesh: Mesh | None = None, backend: str = "auto",
+                 k_steps: int | None = None, **kwargs):
         from ..models.pipe_flow import PipeFlow
 
         self.mesh = mesh if mesh is not None else make_mesh()
-        # Build single-device model for config/state init (XLA backend; the
-        # state is then resharded over the mesh).
-        base = PipeFlow(backend="xla", **kwargs)
+        my, mx = self.mesh.shape["y"], self.mesh.shape["x"]
+        # Config-only base model: units, grid dims, omega, getters.
+        base = PipeFlow(backend="xla", init_state=False, **kwargs)
         self.base = base
         self.units = base.units
         self.nx, self.ny = base.nx, base.ny
         self.omega = base.omega
         self.inlet_rho, self.outlet_rho = base.inlet_rho, base.outlet_rho
         self.num_cells = base.num_cells
+        self.steps_per_call = 1
 
-        step, sharding = make_sharded_pipe_step(
+        interpret = jax.default_backend() != "tpu"
+        can_temporal = (
+            mx == 1 and base.obstacle_mask is None
+            and self.ny % my == 0
+            and supports_temporal_halo(self.ny // my, self.nx,
+                                       k_steps or 1))
+        if backend == "auto":
+            backend = "temporal" if can_temporal else "xla"
+        self.backend = backend
+
+        # XLA halo-exchange step: the general path (2-D meshes, obstacles)
+        # and the remainder step for iteration counts % K.
+        xla_step, sharding = make_sharded_pipe_step(
             mesh=self.mesh, ny=self.ny, nx=self.nx, omega=self.omega,
             inlet_rho=self.inlet_rho, outlet_rho=self.outlet_rho,
             equilibrium=base.equilibrium,
@@ -137,21 +227,48 @@ class ShardedPipeFlow:
             dtype=base.dtype,
         )
         self._sharding = sharding
-        self.state = jax.device_put(base.state, sharding)
+
+        # Shard-wise state init: the perturbation is transferred shard-by-
+        # shard and feq(ramp) is computed under the sharding, so no device
+        # ever holds the full grid (VERDICT r1: OOM-bound init).
+        perturb = jax.device_put(
+            base._init_perturb(np.random.RandomState(base.seed)), sharding)
+        self.state = jax.jit(
+            base._init_from_perturb, out_shardings=sharding)(perturb)
+
         if base.obstacle_mask is not None:
             mask = base.obstacle_mask.astype(jnp.int32)
             self.obstacle_mask = jax.device_put(
                 mask, NamedSharding(self.mesh, P("y", "x")))
-            self._step = lambda f: step(f, self.obstacle_mask)
+            step1 = lambda f: xla_step(f, self.obstacle_mask)  # noqa: E731
         else:
             self.obstacle_mask = None
-            self._step = step
-        self._run = jax.jit(
-            lambda f, n: jax.lax.fori_loop(0, n, lambda i, s: self._step(s), f),
+            step1 = xla_step
+
+        if backend == "temporal":
+            stepK, _, K = make_sharded_temporal_step(
+                mesh=self.mesh, ny=self.ny, nx=self.nx, omega=self.omega,
+                inlet_rho=self.inlet_rho, outlet_rho=self.outlet_rho,
+                equilibrium=base.equilibrium, dtype=base.dtype,
+                k_steps=k_steps, interpret=interpret)
+            self.steps_per_call = K
+            main_step = stepK
+        else:
+            main_step = step1
+
+        self._run_main = jax.jit(
+            lambda f, n: jax.lax.fori_loop(0, n, lambda i, s: main_step(s), f),
+            donate_argnums=0)
+        self._run_rem = jax.jit(
+            lambda f, n: jax.lax.fori_loop(0, n, lambda i, s: step1(s), f),
             donate_argnums=0)
 
     def run(self, num_iterations: int):
-        self.state = self._run(self.state, jnp.int32(num_iterations))
+        n_calls, rem = divmod(int(num_iterations), self.steps_per_call)
+        if n_calls:
+            self.state = self._run_main(self.state, jnp.int32(n_calls))
+        if rem:
+            self.state = self._run_rem(self.state, jnp.int32(rem))
         return self
 
     def block_until_ready(self):
@@ -159,5 +276,7 @@ class ShardedPipeFlow:
         return self
 
     def get_fields(self):
-        self.base.state = jax.device_put(self.state, jax.devices()[0])
+        # Moments are computed on the sharded state (GSPMD inserts the
+        # collectives); only the final host transfer gathers.
+        self.base.state = self.state
         return self.base.get_fields()

@@ -94,3 +94,70 @@ def test_multicomponent_gspmd_sharding(has8):
     np.testing.assert_allclose(
         np.asarray(jax.device_get(b.f)), np.asarray(a.f),
         rtol=1e-6, atol=1e-7)
+
+
+class TestTemporalSharded:
+    """Pallas temporal kernel inside shard_map (ops/fused_halo.py)."""
+
+    KW = dict(N=255, pipe_length=1.5 * 126.5 / 255, **PARAMS)
+
+    def test_matches_single_device(self, has8):
+        mesh = make_mesh(8, shape=(8, 1))
+        single = PipeFlow(backend="xla", **self.KW)
+        assert (single.ny, single.nx) == (256, 128)
+        sh = ShardedPipeFlow(mesh=mesh, backend="temporal", **self.KW)
+        assert sh.steps_per_call >= 2
+        single.run(8)
+        sh.run(8)
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(sh.state)), np.asarray(single.state),
+            rtol=1e-6, atol=1e-7)
+
+    def test_one_device_mesh_deep_k(self, has8):
+        """1x1 mesh: ppermute is the identity; picks the deepest K."""
+        mesh = make_mesh(1, shape=(1, 1))
+        single = PipeFlow(backend="xla", **self.KW)
+        sh = ShardedPipeFlow(mesh=mesh, backend="temporal", **self.KW)
+        assert sh.steps_per_call == 8
+        single.run(8)
+        sh.run(8)
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(sh.state)), np.asarray(single.state),
+            rtol=1e-6, atol=1e-7)
+
+    def test_remainder_steps(self, has8):
+        """Iteration counts not divisible by K run the XLA remainder."""
+        mesh = make_mesh(8, shape=(8, 1))
+        single = PipeFlow(backend="xla", **self.KW)
+        sh = ShardedPipeFlow(mesh=mesh, backend="temporal", **self.KW)
+        single.run(11)
+        sh.run(11)
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(sh.state)), np.asarray(single.state),
+            rtol=1e-6, atol=1e-7)
+
+    def test_auto_backend_falls_back(self, has8):
+        """Tiny shards (H=16) cannot host the VMEM rings; auto -> xla."""
+        mesh = make_mesh(8, shape=(8, 1))
+        kw = dict(N=127, pipe_length=1.5 * 126.5 / 127, **PARAMS)
+        sh = ShardedPipeFlow(mesh=mesh, backend="auto", **kw)
+        assert sh.backend == "xla"
+
+    def test_get_fields_sharded(self, has8):
+        """get_fields computes moments on the sharded state (no device-0
+        staging) and matches the single-device fields."""
+        mesh = make_mesh(8, shape=(8, 1))
+        single = PipeFlow(backend="xla", **self.KW)
+        sh = ShardedPipeFlow(mesh=mesh, backend="temporal", **self.KW)
+        single.run(8)
+        sh.run(8)
+        a = single.get_fields()
+        b = sh.get_fields()
+        # u, v are O(1e-5) differences of O(0.4) populations, so fp32
+        # reassociation noise (~1e-7 absolute) dominates their rtol.
+        for k in ("rho", "u", "v"):
+            np.testing.assert_allclose(b[k], a[k], rtol=1e-6, atol=1e-6)
+
+    def test_make_mesh_raises_on_too_few_devices(self, has8):
+        with pytest.raises(ValueError, match="only"):
+            make_mesh(1024)
