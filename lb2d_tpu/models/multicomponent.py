@@ -180,7 +180,7 @@ class SimulationRunner:
 
     def __init__(self, nx=100, ny=100, L_lb=100, T_lb=1.0, num_populations=1,
                  porous=True, lattice: Lattice = D2Q9, dtype=None,
-                 check_max_ulb=False, mach_tolerance=0.1):
+                 check_max_ulb=False, mach_tolerance=0.1, backend="auto"):
         self.nx, self.ny = int(nx), int(ny)
         self.L_lb, self.T_lb = L_lb, T_lb
         self.delta_x = 1.0 / L_lb
@@ -205,7 +205,17 @@ class SimulationRunner:
         self.fluid_list: list[Fluid] = []
         self.additional_forces = []      # fns (rho, u, v, Gx, Gy) -> (Gx, Gy)
         self.additional_collisions = []  # fns (f, rho) -> f
+        # structured descriptors mirroring the hooks, consumed by the fused
+        # Pallas path (ops/fused_mc.py); "unsupported" forces an XLA fallback
+        self._force_desc = []
+        self._coll_desc = []
         self._run_jit = None
+        self._mesh = None
+        assert backend in ("auto", "kernel", "xla")
+        self.backend = backend
+        self.backend_used = None
+        self.steps_per_call = 1
+        self._run_rem = None
         self.steps_taken = 0
 
     # ---- setup ---------------------------------------------------------------
@@ -233,6 +243,7 @@ class SimulationRunner:
             return f
 
         self.additional_collisions.append(collision)
+        self._coll_desc.append(("eating", eater_index, eatee_index, rate))
 
     def add_growth(self, eater_index, min_rho_cutoff, max_rho_cutoff,
                    eat_rate):
@@ -247,6 +258,8 @@ class SimulationRunner:
             return f.at[:, eater_index].add(w * grow)
 
         self.additional_collisions.append(collision)
+        self._coll_desc.append(("growth", eater_index, min_rho_cutoff,
+                                max_rho_cutoff, eat_rate))
 
     def add_constant_body_force(self, fluid_index, force_x, force_y):
         """Constant force per density (``single_component.cl:547-570``)."""
@@ -256,6 +269,8 @@ class SimulationRunner:
                     Gy.at[fluid_index].add(force_y))
 
         self.additional_forces.append(force)
+        self._force_desc.append(("const_force", fluid_index, force_x,
+                                 force_y))
 
     def add_constant_g_force(self, fluid_index, g_x, g_y):
         """Constant gravity: force density ``g rho``
@@ -266,6 +281,7 @@ class SimulationRunner:
                     Gy.at[fluid_index].add(g_y * rho[fluid_index]))
 
         self.additional_forces.append(force)
+        self._force_desc.append(("const_g", fluid_index, g_x, g_y))
 
     def _radial(self, center_x, center_y, prefactor, radial_scaling,
                 times_rho, fluid_index):
@@ -283,6 +299,11 @@ class SimulationRunner:
                     Gy.at[fluid_index].add(fy * scale))
 
         self.additional_forces.append(force)
+        if times_rho:
+            self._force_desc.append(("unsupported",))
+        else:
+            self._force_desc.append(("static_ext", fluid_index,
+                                     np.asarray(fx), np.asarray(fy)))
 
     def add_radial_body_force(self, fluid_index, center_x, center_y,
                               prefactor, radial_scaling):
@@ -331,6 +352,10 @@ class SimulationRunner:
             return Gx, Gy
 
         self.additional_forces.append(force)
+        belt = 2 if stencil is SECOND_BELT_STENCIL else 1
+        self._force_desc.append(("interaction", fluid_1, fluid_2, G_int,
+                                 spec, tuple(np.asarray(params, np.float64)),
+                                 belt, bc))
 
     def add_interaction_force(self, fluid_1_index, fluid_2_index, G_int,
                               bc="periodic", potential="linear",
@@ -371,6 +396,8 @@ class SimulationRunner:
             return Gx.at[force_index].add(gx), Gy.at[force_index].add(gy)
 
         self.additional_forces.append(force)
+        self._force_desc.append(("dyn_ext", source_index, force_index, vel,
+                                 amplitude))
 
     # ---- numerics ------------------------------------------------------------
     def _w_col(self):
@@ -475,35 +502,220 @@ class SimulationRunner:
             f = coll(f, rho)
         return f
 
+    # ---- fused Pallas path (ops/fused_mc.py) ---------------------------------
+    def _kernel_plan(self):
+        """Classify the registered hooks for the fused kernel. Returns
+        ``(cfg, static_ext, dyn_hooks)`` or ``None`` when this configuration
+        must run on the XLA path (non-D2Q9, fp64, zero-gradient BCs, or an
+        unsupported hook)."""
+        from ..ops.fused_mc import FluidParams, MCKernelConfig
+
+        if self.lattice is not D2Q9 or self.dtype != jnp.float32:
+            return None
+        if any(fl.bc != "periodic" for fl in self.fluid_list):
+            return None
+        C = self.num_populations
+        interactions, const_forces, const_g, dyn = [], [], [], []
+        static_ext = None
+        for d in self._force_desc:
+            kind = d[0]
+            if kind == "unsupported":
+                return None
+            if kind == "const_force":
+                const_forces.append((int(d[1]), float(d[2]), float(d[3])))
+            elif kind == "const_g":
+                const_g.append((int(d[1]), float(d[2]), float(d[3])))
+            elif kind == "static_ext":
+                i, fx, fy = d[1], d[2], d[3]
+                if static_ext is None:
+                    static_ext = np.zeros((2 * C, self.ny, self.nx),
+                                          np.float32)
+                static_ext[i] += fx
+                static_ext[C + i] += fy
+            elif kind == "interaction":
+                i1, i2, G_int, spec, params, belt, bc = d[1:]
+                if bc != "periodic":
+                    return None
+                interactions.append((int(i1), int(i2), float(G_int),
+                                     int(spec), tuple(params), int(belt)))
+            elif kind == "dyn_ext":
+                dyn.append(d[1:])
+            else:
+                return None
+        has_ext = static_ext is not None or bool(dyn)
+        cfg = MCKernelConfig(
+            fluids=tuple(FluidParams(omega=fl.omega, epsilon=fl.epsilon,
+                                     nu_fluid=fl.nu_fluid, K=fl.K, Fe=fl.Fe)
+                         for fl in self.fluid_list),
+            porous=self.porous,
+            zero_density=self.zero_density,
+            interactions=tuple(interactions),
+            const_forces=tuple(const_forces),
+            const_g=tuple(const_g),
+            collisions=tuple(self._coll_desc),
+            has_ext=has_ext,
+        )
+        return cfg, static_ext, dyn
+
+    def _make_kernel_step(self, k_steps=None):
+        """Build the fused step ``f[q, C, ny, nx] -> f`` advancing
+        ``steps_per_call`` LB steps (unsharded, or ``shard_map``-wrapped
+        over a y-decomposed mesh). Returns ``None`` when the kernel path is
+        unavailable. Dynamic force hooks (screened-Poisson) pin the
+        temporal depth to 1 — the force field is only valid for the step
+        it was computed from."""
+        from ..ops.fused_mc import make_mc_halo_step, supports_mc_halo
+
+        plan = self._kernel_plan()
+        if plan is None:
+            return None
+        cfg, static_ext, dyn = plan
+        q, C = self.lattice.q, self.num_populations
+        ny, nx = self.ny, self.nx
+        P_ = q * C
+        mesh = self._mesh
+        my = 1
+        if mesh is not None:
+            if dict(mesh.shape).get("x", 1) != 1:
+                return None  # lane rolls need the full row on one shard
+            my = dict(mesh.shape)["y"]
+            if ny % my:
+                return None
+        H = ny // my
+        if dyn:
+            k_steps = 1
+        if not supports_mc_halo(H, nx, C, cfg.belt, cfg.has_ext):
+            return None
+        interpret = jax.default_backend() != "tpu"
+        kernel = make_mc_halo_step(H=H, nx=nx, cfg=cfg, dtype=self.dtype,
+                                   interpret=interpret, k_steps=k_steps)
+        CH = kernel.chunk
+        self.steps_per_call = kernel.k_steps
+        dt = self.dtype
+        cx_np, cy_np = self.lattice.cx, self.lattice.cy
+        static_ext_j = (jnp.asarray(static_ext, dt)
+                        if static_ext is not None else None)
+
+        def build_ext(f):
+            """Assemble the external per-fluid force planes: static fields
+            plus the screened-Poisson repulsion (``multi.py:488-511``),
+            evaluated on the post-stream density (periodic rolls) so the
+            kernel sees exactly the XLA path's force ordering."""
+            ext = (static_ext_j if static_ext_j is not None
+                   else jnp.zeros((2 * C, ny, nx), dt))
+            for (src, tgt, vel, amp) in dyn:
+                r = None
+                for j in range(q):
+                    p = f[j, src]
+                    if cy_np[j]:
+                        p = jnp.roll(p, cy_np[j], axis=0)
+                    if cx_np[j]:
+                        p = jnp.roll(p, cx_np[j], axis=1)
+                    r = p if r is None else r + p
+                gx, gy = vel(r.astype(jnp.float32))
+                ext = ext.at[tgt].add((-amp * gx).astype(dt))
+                ext = ext.at[C + tgt].add((-amp * gy).astype(dt))
+            return ext
+
+        if mesh is None:
+            def kstep(f):
+                flat = f.reshape(P_, ny, nx)
+                top = flat[:, ny - CH:, :]   # periodic wrap rows
+                bot = flat[:, :CH, :]
+                if cfg.has_ext:
+                    out = kernel(flat, top, bot, build_ext(f))
+                else:
+                    out = kernel(flat, top, bot)
+                return out.reshape(q, C, ny, nx)
+            return kstep
+
+        # sharded: ppermute halo chunks, kernel per shard (cf.
+        # parallel/sharded.py::make_sharded_temporal_step)
+        from jax.sharding import PartitionSpec as Pspec
+        from ..parallel.halo import _ring_shift
+
+        def local(flat_loc, *ext_loc):
+            top = flat_loc[:, H - CH:, :]
+            bot = flat_loc[:, :CH, :]
+            if my > 1:
+                top = _ring_shift(top, "y", +1)
+                bot = _ring_shift(bot, "y", -1)
+            if cfg.has_ext:
+                return kernel(flat_loc, top, bot, ext_loc[0])
+            return kernel(flat_loc, top, bot)
+
+        spec = Pspec(None, "y", None)
+        if cfg.has_ext:
+            sm = jax.shard_map(local, mesh=mesh, in_specs=(spec, spec),
+                               out_specs=spec, check_vma=False)
+        else:
+            sm = jax.shard_map(local, mesh=mesh, in_specs=(spec,),
+                               out_specs=spec, check_vma=False)
+
+        def kstep(f):
+            flat = f.reshape(P_, ny, nx)
+            if cfg.has_ext:
+                out = sm(flat, build_ext(f))
+            else:
+                out = sm(flat)
+            return out.reshape(q, C, ny, nx)
+
+        return kstep
+
     # ---- sharding --------------------------------------------------------------
     def shard_over(self, mesh):
         """Domain-decompose the state over a ``("y", "x")`` device mesh.
 
-        The step is pure jnp (rolls, elementwise, reductions), so GSPMD
-        partitions it automatically once the state carries a
-        ``NamedSharding`` — rolls become halo ``collective-permute``s and the
-        barycentric reductions stay shard-local. This is the scaling path for
-        the 8192^2 porous workload (BASELINE.json config 5).
+        On a y-decomposed mesh with a kernel-eligible configuration the
+        fused Pallas kernel runs per shard inside ``shard_map`` with
+        ``ppermute`` halo-chunk exchange; otherwise the step is pure jnp
+        (rolls, elementwise, reductions) and GSPMD partitions it
+        automatically once the state carries a ``NamedSharding`` — rolls
+        become halo ``collective-permute``s and the barycentric reductions
+        stay shard-local. This is the scaling path for the 8192^2 porous
+        workload (BASELINE.json config 5).
         """
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        s4 = NamedSharding(mesh, P(None, None, "y", "x"))
-        s3 = NamedSharding(mesh, P(None, "y", "x"))
-        s2 = NamedSharding(mesh, P("y", "x"))
+        names = mesh.axis_names
+        assert "y" in names, "shard_over expects a ('y', 'x') mesh"
+        xs = ["x"] if "x" in names else []
+        s4 = NamedSharding(mesh, P(None, None, "y", *xs))
+        s3 = NamedSharding(mesh, P(None, "y", *xs))
+        s2 = NamedSharding(mesh, P("y", *xs))
         self.f = jax.device_put(self.f, s4)
         self.rho = jax.device_put(self.rho, s3)
         self.u_bary = jax.device_put(self.u_bary, s2)
         self.v_bary = jax.device_put(self.v_bary, s2)
+        self._mesh = mesh
         self._run_jit = None  # re-jit against the sharded state
+        self._warm = False
         return self
 
     # ---- execution -----------------------------------------------------------
-    def run(self, num_iterations, debug=False, timed=False):
+    def run(self, num_iterations, debug=False, timed=False, k_steps=None):
         if self._run_jit is None:
-            step = self._step
+            step = None
+            self.steps_per_call = 1
+            if self.backend in ("auto", "kernel"):
+                step = self._make_kernel_step(k_steps=k_steps)
+                if step is None and self.backend == "kernel":
+                    raise ValueError(
+                        "kernel backend unavailable: needs D2Q9, fp32, "
+                        "periodic BCs, aligned grid, supported hooks")
+            self.backend_used = "xla" if step is None else "kernel"
+            if step is None:
+                step = self._step
             self._run_jit = jax.jit(
                 lambda f, n: jax.lax.fori_loop(0, n, lambda i, s: step(s), f),
                 donate_argnums=0)
+            if self.steps_per_call > 1:
+                # remainder steps run the (already traced) XLA step
+                xstep = self._step
+                self._run_rem = jax.jit(
+                    lambda f, n: jax.lax.fori_loop(
+                        0, n, lambda i, s: xstep(s), f),
+                    donate_argnums=0)
         if timed and not getattr(self, "_warm", False):
             # compile + sync outside the timed region (cf. LBModel.run)
             self.f = self._run_jit(self.f, jnp.int32(0))
@@ -511,11 +723,17 @@ class SimulationRunner:
             self._warm = True
         t0 = time.perf_counter() if timed else None
         if debug:
+            one = (self._run_rem if self.steps_per_call > 1
+                   else self._run_jit)
             for _ in range(num_iterations):
-                self.f = self._run_jit(self.f, jnp.int32(1))
+                self.f = one(self.f, jnp.int32(1))
                 self.check_fields()
         else:
-            self.f = self._run_jit(self.f, jnp.int32(num_iterations))
+            n_calls, rem = divmod(int(num_iterations), self.steps_per_call)
+            if n_calls:
+                self.f = self._run_jit(self.f, jnp.int32(n_calls))
+            if rem:
+                self.f = self._run_rem(self.f, jnp.int32(rem))
         if timed:
             float(jnp.sum(jnp.ravel(self.f)[:8]))  # readback sync
             dt = time.perf_counter() - t0

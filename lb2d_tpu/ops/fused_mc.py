@@ -1,0 +1,687 @@
+"""Fused, temporally-blocked Pallas kernel for the multicomponent /
+porous-media engine.
+
+The reference's largest native subsystem (``single_component.cl``, 967 lines;
+``multi.cl``, 947) runs one step as ~10 sequential kernel launches per fluid
+(``single_component.py:679-751``), each a full HBM round trip. The XLA port
+in :mod:`lb2d_tpu.models.multicomponent` is correct but roll-based (~500
+MLUPS at 512^2). This module fuses the entire step — stream, hydro,
+Shan-Chen interaction forces, porous drag, barycentric velocity, Guo-forced
+BGK, eating/growth collisions — into ONE kernel, and **temporally blocks**
+``k_steps`` LB steps into each HBM sweep (the manual-DMA ring sustains
+~300 GB/s on this chip, so a K=1 sweep of 2 fluids caps near 2 GLUPS;
+blocking divides the ring traffic by K exactly as the flow kernel's
+temporal path does, ``ops/fused.py``).
+
+Structure: a ``2K``-stage software pipeline over CH-row chunks. Per LB step
+``s`` there are two sub-stages, skewed two chunks apart so every read is
+already resident in VMEM:
+
+* **stream S_s** (virtual chunk ``c`` at iteration ``c + 2s``): pull-stream
+  all ``q*C`` planes from step ``s-1``'s output ring (step 0 streams from
+  the HBM input ring; y-halo rows come from ring chunks ``c-1`` / ``c+1``,
+  x from lane rolls) and reduce the per-fluid post-stream density.
+* **physics P_s** (chunk ``c`` at iteration ``c + 2s + 1``, after S_s has
+  produced chunk ``c+1``'s densities): per-fluid momenta, Shan-Chen
+  pseudopotential forces with in-VMEM halo rows (first belt
+  ``single_component.cl:652-793`` — evaluated *separably*, the D2Q9 belt
+  weights are ``outer([1/6, 2/3, 1/6])`` — or the two-belt 25-vector
+  stencil ``:795-967``), constant/gravity forces, porous Darcy+Forchheimer
+  drag (``:276-335``), barycentric velocity (``:161-212``), porosity feq
+  (``:39-60``) + Guo forcing (``:104-113`` / ``multi.cl:115-126``) + BGK,
+  and the eating (``single_component.cl:120-159``) / growth
+  (``multi.cl:182-220``) hooks. Output goes to step ``s``'s ring, or to the
+  HBM output for ``s = K-1``.
+
+Like :mod:`fused_halo`, the kernel operates on a local y-shard ``[q*C, H,
+nx]`` plus one CH-row halo chunk per side, so the same kernel serves the
+unsharded case (halos = the local periodic wrap rows) and ``shard_map``
+(halos ``ppermute``d over ICI). Halo chunks run every stage but are never
+stored; each stage corrupts their outermost rows a little further (stale
+ring slots at the block edge): after P_s the outer ``(1 + belt)(s + 1)``
+rows are garbage, and the first/last body chunk reads at most ``belt``
+rows (rho) / 1 row (streamed f) in — valid while
+``(K - 1)(1 + belt) <= CH - belt - 1`` (:func:`max_mc_k`).
+
+Scope (the model falls back to the XLA path otherwise): D2Q9, periodic BCs,
+fp32. Global force hooks (the screened-Poisson repulsion of
+``multi.py:488-511``) cannot fuse — their FFT is a global dependency — so
+they enter as a precomputed per-fluid force-field input ``g_ext`` streamed
+through its own ring, and force ``k_steps = 1`` (the field is only valid
+for the step it was computed from); static force fields (radial body
+forces) are step-invariant and allow any K.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.lattice import D2Q9
+from .fused import _lane_roll
+
+__all__ = [
+    "MCKernelConfig",
+    "FluidParams",
+    "supports_mc_halo",
+    "pick_mc_tiling",
+    "max_mc_k",
+    "make_mc_halo_step",
+]
+
+_NIN = 5    # HBM input ring depth (loads run 3 chunks ahead)
+_NFS = 2    # streamed-f ring depth (written S_s, read P_s next iteration)
+_NRHO = 4   # density ring depth (P_s reads chunks c-1, c, c+1)
+_NFO = 4    # per-step output ring depth (S_{s+1} reads c-1, c, c+1)
+_NOUT = 2   # HBM output ring depth
+_VMEM_BUDGET = 88 * 1024 * 1024
+
+
+@dataclass(frozen=True)
+class FluidParams:
+    """Static per-fluid parameters (``Pourous_Media.__init__``,
+    ``single_component.py:46-67``)."""
+    omega: float
+    epsilon: float = 1.0
+    nu_fluid: float = 1.0
+    K: float = 1.0
+    Fe: float = 1.0
+
+
+@dataclass(frozen=True)
+class MCKernelConfig:
+    """Everything the kernel needs at trace time.
+
+    ``interactions``: tuples ``(i1, i2, G_int, spec, params, belt)`` with
+    ``spec`` the pseudopotential index (0 linear / 1 shan_chen / 2 pow /
+    3 vdw, ``single_component.cl:609-651``) and ``belt`` 1 or 2.
+    ``const_forces``: ``(i, fx, fy)`` scalar adds (``:547-570``).
+    ``const_g``: ``(i, gx, gy)`` force density ``g * rho``
+    (``multi.cl:541-566``).
+    ``collisions``: ``("eating", i, j, rate)`` or ``("growth", i, lo, hi,
+    rate)``.
+    """
+    fluids: tuple  # tuple[FluidParams, ...]
+    porous: bool
+    zero_density: float
+    interactions: tuple = ()
+    const_forces: tuple = ()
+    const_g: tuple = ()
+    collisions: tuple = ()
+    has_ext: bool = False
+
+    @property
+    def belt(self) -> int:
+        return max((it[5] for it in self.interactions), default=0)
+
+
+def _psi_pair(spec, r1, r2, params, zd):
+    """In-kernel pseudopotentials (``single_component.cl:609-651``); pure
+    jnp so it lowers in both compiled and interpret mode."""
+    if spec == 0:
+        return r1, r2
+    if spec == 1:
+        rho_0 = params[0]
+        return (rho_0 * (1.0 - jnp.exp(-r1 / rho_0)),
+                rho_0 * (1.0 - jnp.exp(-r2 / rho_0)))
+    if spec == 2:
+        a = params[0]
+        p1 = jnp.where(r1 > zd, jnp.maximum(r1, zd) ** a, 0.0)
+        p2 = jnp.where(r2 > zd, jnp.maximum(r2, zd) ** a, 0.0)
+        return p1, p2
+    if spec == 3:
+        a, b, T, cs = params[:4]
+        P1 = (r1 * T) / (1.0 - r1 * b) - a * r1 * r1
+        P2 = (r2 * T) / (1.0 - r2 * b) - a * r2 * r2
+        cs2 = cs * cs
+        s1 = jnp.sqrt(jnp.maximum(2.0 * (P1 - cs2 * r1) / cs2, 0.0))
+        s2 = jnp.sqrt(jnp.maximum(2.0 * (P2 - cs2 * r2) / cs2, 0.0))
+        return s1, s2
+    raise ValueError(f"unknown PSI specifier {spec}")
+
+
+def max_mc_k(CH: int, belt: int) -> int:
+    """Largest temporal depth the one-chunk halo supports: corruption of a
+    halo chunk's outer rows grows by ``1 + belt`` per LB step, and the
+    first/last body chunk reads ``belt`` density rows into the halo chunk
+    at every step: ``(K - 1)(1 + belt) <= CH - belt - 1``."""
+    return max(1, (CH - belt - 1) // (1 + belt) + 1)
+
+
+def _ring_bytes(CH, nx, C, K, has_ext):
+    P = 9 * C
+    plane = CH * nx * 4
+    planes = (_NIN * P + K * (_NFS * P + _NRHO * C)
+              + (K - 1) * _NFO * P + _NOUT * P)
+    if has_ext:
+        planes += (2 * K + 3) * 2 * C
+    return planes * plane
+
+
+def pick_mc_tiling(H: int, nx: int, C_fluids: int, belt: int = 1,
+                   has_ext: bool = False,
+                   k_steps: int | None = None) -> tuple[int, int] | None:
+    """Pick ``(CH, K)``: deepest temporal block first (ring traffic divides
+    by K), largest chunk second; 8-row DMA alignment, >= 3 body chunks,
+    VMEM within budget, halo-validity cap :func:`max_mc_k`."""
+    if nx % 128 != 0:
+        return None
+    for k in ((8, 6, 5, 4, 3, 2, 1) if k_steps is None else (k_steps,)):
+        for ch in (16, 8):
+            if H % ch or H // ch < 3:
+                continue
+            if k > max_mc_k(ch, belt):
+                continue
+            if _ring_bytes(ch, nx, C_fluids, k, has_ext) <= _VMEM_BUDGET:
+                return ch, k
+    return None
+
+
+def supports_mc_halo(H: int, nx: int, C_fluids: int, belt: int = 1,
+                     has_ext: bool = False) -> bool:
+    return pick_mc_tiling(H, nx, C_fluids, belt, has_ext) is not None
+
+
+def make_mc_halo_step(
+    *,
+    H: int,
+    nx: int,
+    cfg: MCKernelConfig,
+    dtype=jnp.float32,
+    interpret: bool = False,
+    chunk: int | None = None,
+    k_steps: int | None = None,
+):
+    """Build ``step(f_loc, top_halo, bot_halo [, g_ext]) -> f_loc`` advancing
+    one y-shard of the multicomponent engine by ``k_steps`` LB steps.
+
+    ``f_loc`` is ``[q*C, H, nx]`` (plane ``j*C + i`` = direction j of fluid
+    i); ``top_halo``/``bot_halo`` are one CH-row chunk each,
+    ``[q*C, CH, nx]`` (the y-neighbors' boundary rows at the
+    current time — the local wrap rows when unsharded); ``g_ext`` (iff
+    ``cfg.has_ext``) is ``[2*C, H, nx]`` (Gx planes then Gy), applied
+    identically at every internal step (callers force K=1 for step-varying
+    fields). The returned function has attributes ``chunk`` and ``k_steps``.
+    """
+    lattice = D2Q9
+    q = lattice.q
+    C = len(cfg.fluids)
+    belt = cfg.belt
+    tiling = pick_mc_tiling(H, nx, C, belt, cfg.has_ext, k_steps)
+    if chunk is not None or k_steps is not None:
+        CH = chunk if chunk is not None else (tiling[0] if tiling else None)
+        K = k_steps if k_steps is not None else (tiling[1] if tiling else 1)
+    elif tiling is not None:
+        CH, K = tiling
+    else:
+        CH = K = None
+    if CH is None or K is None or H % CH or K > max_mc_k(CH, belt):
+        raise ValueError(
+            f"no mc tiling for shard {H}x{nx}, C={C}, K={k_steps}")
+    assert belt + 2 <= CH, (belt, CH)
+    Cb = H // CH      # body chunks
+    V = Cb + 2        # virtual chunks incl. the two halo chunks
+    P = q * C
+    NE = 2 * K + 3    # ext ring depth: ext[c] is read by every P_s
+    zd = np.asarray(cfg.zero_density, dtype)
+    cs2 = lattice.cs2
+    cxs, cys, ws = lattice.cx, lattice.cy, lattice.w
+
+    # stencils: (weight, cx, cy) — first belt = D2Q9 moving vectors
+    # (multi.py:517-529); second belt = the explicit 25-vector set
+    # (single_component.py:533-646, via models.multicomponent).
+    def _stencil(b):
+        if b == 1:
+            return [(ws[j], cxs[j], cys[j]) for j in range(1, q)]
+        from ..models.multicomponent import SECOND_BELT_STENCIL
+        return [(w_, cx_, cy_) for w_, (cx_, cy_) in SECOND_BELT_STENCIL]
+
+    stencils = {b: _stencil(b) for b in {it[5] for it in cfg.interactions}}
+
+    def kernel(*refs):
+        if cfg.has_ext:
+            f_hbm, top_hbm, bot_hbm, ext_hbm, out_hbm = refs[:5]
+            rest = refs[5:]
+        else:
+            f_hbm, top_hbm, bot_hbm, out_hbm = refs[:4]
+            ext_hbm = None
+            rest = refs[4:]
+        idx = 0
+        in_ring = rest[idx]; idx += 1
+        fs_rings = rest[idx:idx + K]; idx += K
+        rho_rings = rest[idx:idx + K]; idx += K
+        fo_rings = rest[idx:idx + K - 1]; idx += K - 1
+        out_ring = rest[idx]; idx += 1
+        if cfg.has_ext:
+            ext_ring = rest[idx]; idx += 1
+            sem_in, sem_ext, sem_out = rest[idx:]
+        else:
+            ext_ring = None
+            sem_in, sem_out = rest[idx:]
+
+        def load(c):
+            """DMA virtual chunk c: 0 -> top halo, 1..Cb -> f_loc chunk c-1,
+            V-1 -> bottom halo (one wait descriptor serves all three)."""
+            slot = c % _NIN
+
+            @pl.when(c == 0)
+            def _():
+                pltpu.make_async_copy(
+                    top_hbm, in_ring.at[slot], sem_in.at[slot]).start()
+
+            @pl.when((c >= 1) & (c <= Cb))
+            def _():
+                pltpu.make_async_copy(
+                    f_hbm.at[:, pl.ds(
+                        pl.multiple_of((c - 1) * CH, CH), CH), :],
+                    in_ring.at[slot], sem_in.at[slot]).start()
+                if cfg.has_ext:
+                    pltpu.make_async_copy(
+                        ext_hbm.at[:, pl.ds(
+                            pl.multiple_of((c - 1) * CH, CH), CH), :],
+                        ext_ring.at[c % NE], sem_ext.at[c % NE]).start()
+
+            @pl.when(c == V - 1)
+            def _():
+                pltpu.make_async_copy(
+                    bot_hbm, in_ring.at[slot], sem_in.at[slot]).start()
+
+        def load_wait(c):
+            slot = c % _NIN
+            pltpu.make_async_copy(
+                top_hbm, in_ring.at[slot], sem_in.at[slot]).wait()
+            if cfg.has_ext:
+                @pl.when((c >= 1) & (c <= Cb))
+                def _():
+                    pltpu.make_async_copy(
+                        ext_hbm.at[:, pl.ds(0, CH), :],
+                        ext_ring.at[c % NE], sem_ext.at[c % NE]).wait()
+
+        def store(c):
+            return pltpu.make_async_copy(
+                out_ring.at[c % _NOUT],
+                out_hbm.at[:, pl.ds(
+                    pl.multiple_of((c - 1) * CH, CH), CH), :],
+                sem_out.at[c % _NOUT])
+
+        def stream_stage(s, c):
+            """S_s: stream chunk c of step s (pull from ring chunks
+            c-1/c/c+1 + lane rolls) and reduce per-fluid density. Halo
+            chunks stream too (their outermost rows read stale slots and
+            are garbage — tracked by :func:`max_mc_k`, never stored)."""
+            ring = in_ring if s == 0 else fo_rings[s - 1]
+            depth = _NIN if s == 0 else _NFO
+            prev = (c - 1) % depth
+            cur = c % depth
+            nxt = (c + 1) % depth
+            for i in range(C):
+                rho = None
+                for j in range(q):
+                    pi = j * C + i
+                    cxj, cyj = cxs[j], cys[j]
+                    if cyj == 1:
+                        rows = jnp.concatenate(
+                            [ring[prev, pi, CH - 1:CH, :],
+                             ring[cur, pi, 0:CH - 1, :]], axis=0)
+                    elif cyj == -1:
+                        rows = jnp.concatenate(
+                            [ring[cur, pi, 1:CH, :],
+                             ring[nxt, pi, 0:1, :]], axis=0)
+                    else:
+                        rows = ring[cur, pi, :, :]
+                    sj = _lane_roll(rows, cxj, nx)
+                    fs_rings[s][c % _NFS, pi, :, :] = sj
+                    rho = sj if rho is None else rho + sj
+                rho_rings[s][c % _NRHO, i, :, :] = rho
+
+        def phys_stage(s, c):
+            """P_s: full post-stream physics for chunk c of step s.
+
+            VPU-heavy, so the math is factored: pair-shared momenta/quads
+            (Succi-style, cf. ``_moments_feq_collide``), quads shared
+            across fluids with equal porosity, and the first-belt
+            Shan-Chen stencil evaluated separably."""
+            has_forces = (cfg.has_ext or cfg.const_forces or cfg.const_g
+                          or cfg.interactions or cfg.porous)
+            fs_ring = fs_rings[s]
+            rho_ring = rho_rings[s]
+            fs = [[fs_ring[c % _NFS, j * C + i, :, :] for j in range(q)]
+                  for i in range(C)]
+            b = belt
+            rho, rho_ext = [], []
+            for i in range(C):
+                if b:
+                    rho_ext.append(jnp.concatenate([
+                        rho_ring[(c - 1) % _NRHO, i, CH - b:CH, :],
+                        rho_ring[c % _NRHO, i, :, :],
+                        rho_ring[(c + 1) % _NRHO, i, 0:b, :]], axis=0))
+                    rho.append(rho_ext[i][b:b + CH])
+                else:
+                    rho.append(rho_ring[c % _NRHO, i, :, :])
+
+            # hydro (update_hydro_pourous, single_component.cl:214-274),
+            # pair-factored momenta
+            jx, jy, u, v, good, safe = [], [], [], [], [], []
+            for i in range(C):
+                f_ = fs[i]
+                d57 = f_[5] - f_[7]
+                d68 = f_[6] - f_[8]
+                jxi = (f_[1] - f_[3]) + d57 - d68
+                jyi = (f_[2] - f_[4]) + d57 + d68
+                jx.append(jxi)
+                jy.append(jyi)
+                g = rho[i] > zd
+                sf = jnp.where(g, rho[i], 1.0)
+                good.append(g)
+                safe.append(sf)
+                if has_forces:
+                    inv = 1.0 / sf
+                    u.append(jnp.where(g, jxi * inv, 0.0))
+                    v.append(jnp.where(g, jyi * inv, 0.0))
+
+            # forces: ext fields, constants, gravity, Shan-Chen
+            if has_forces:
+                Gx = [None] * C
+                Gy = [None] * C
+
+                def _acc(G, i, val):
+                    G[i] = val if G[i] is None else G[i] + val
+
+                if cfg.has_ext:
+                    for i in range(C):
+                        _acc(Gx, i, ext_ring[c % NE, i, :, :])
+                        _acc(Gy, i, ext_ring[c % NE, C + i, :, :])
+                for i, fx_, fy_ in cfg.const_forces:
+                    _acc(Gx, i, jnp.full_like(rho[i],
+                                              np.asarray(fx_, dtype)))
+                    _acc(Gy, i, jnp.full_like(rho[i],
+                                              np.asarray(fy_, dtype)))
+                for i, gx_, gy_ in cfg.const_g:
+                    _acc(Gx, i, np.asarray(gx_, dtype) * rho[i])
+                    _acc(Gy, i, np.asarray(gy_, dtype) * rho[i])
+
+                for (i1, i2, G_int, spec, params, bl) in cfg.interactions:
+                    psi1e, psi2e = _psi_pair(spec, rho_ext[i1], rho_ext[i2],
+                                             params, cfg.zero_density)
+                    psi1c = psi1e[b:b + CH]
+                    psi2c = psi2e[b:b + CH]
+                    if bl == 1:
+                        # separable first belt: w = outer([1/6,2/3,1/6]) of
+                        # the D2Q9 moving set (1/9 axis, 1/36 diagonal)
+                        def belt_force(pe):
+                            up = pe[b - 1:b - 1 + CH]
+                            dn = pe[b + 1:b + 1 + CH]
+                            ctr = pe[b:b + CH]
+                            Sy = ((2.0 / 3.0) * ctr
+                                  + (1.0 / 6.0) * (up + dn))
+                            fx = (1.0 / 6.0) * (_lane_roll(Sy, -1, nx)
+                                                - _lane_roll(Sy, 1, nx))
+                            # dy-weighted difference of x-convolved rows
+                            # (the dy=0 row has weight 0)
+                            Sxu = ((2.0 / 3.0) * up
+                                   + (1.0 / 6.0) * (
+                                       _lane_roll(up, -1, nx)
+                                       + _lane_roll(up, 1, nx)))
+                            Sxd = ((2.0 / 3.0) * dn
+                                   + (1.0 / 6.0) * (
+                                       _lane_roll(dn, -1, nx)
+                                       + _lane_roll(dn, 1, nx)))
+                            fy = (1.0 / 6.0) * (Sxd - Sxu)
+                            return fx, fy
+
+                        fx1, fy1 = belt_force(psi2e)
+                        fx2, fy2 = belt_force(psi1e)
+                    else:
+                        fx1 = jnp.zeros_like(psi1c)
+                        fy1 = jnp.zeros_like(psi1c)
+                        fx2 = jnp.zeros_like(psi1c)
+                        fy2 = jnp.zeros_like(psi1c)
+                        for wgt, cx_, cy_ in stencils[bl]:
+                            # psi(x + c): ext-row slice + lane roll
+                            n2 = _lane_roll(psi2e[b + cy_:b + cy_ + CH],
+                                            -cx_, nx)
+                            n1 = _lane_roll(psi1e[b + cy_:b + cy_ + CH],
+                                            -cx_, nx)
+                            if cx_:
+                                fx1 = fx1 + (wgt * cx_) * n2
+                                fx2 = fx2 + (wgt * cx_) * n1
+                            if cy_:
+                                fy1 = fy1 + (wgt * cy_) * n2
+                                fy2 = fy2 + (wgt * cy_) * n1
+                    # force -> force per density, zero-density guarded
+                    # (single_component.cl:779-792)
+                    s1 = jnp.where(good[i1],
+                                   (-G_int) * psi1c / safe[i1], 0.0)
+                    s2 = jnp.where(good[i2],
+                                   (-G_int) * psi2c / safe[i2], 0.0)
+                    _acc(Gx, i1, s1 * fx1)
+                    _acc(Gy, i1, s1 * fy1)
+                    _acc(Gx, i2, s2 * fx2)
+                    _acc(Gy, i2, s2 * fy2)
+
+                for i in range(C):
+                    if Gx[i] is None:
+                        Gx[i] = jnp.zeros_like(rho[i])
+                    if Gy[i] is None:
+                        Gy[i] = jnp.zeros_like(rho[i])
+
+                if cfg.porous:
+                    # Darcy + Forchheimer drag, applied last
+                    # (update_forces_pourous, single_component.cl:276-335)
+                    for i, fl in enumerate(cfg.fluids):
+                        eps, nuf, Kp, Fe = (fl.epsilon, fl.nu_fluid, fl.K,
+                                            fl.Fe)
+                        gx = Gx[i] * eps - (eps * nuf / Kp) * u[i]
+                        gy = Gy[i] * eps - (eps * nuf / Kp) * v[i]
+                        vel = jnp.sqrt(u[i] * u[i] + v[i] * v[i])
+                        gx = gx - (eps * Fe / np.sqrt(Kp)) * vel * u[i]
+                        gy = gy - (eps * Fe / np.sqrt(Kp)) * vel * v[i]
+                        Gx[i] = jnp.where(good[i], gx, 0.0)
+                        Gy[i] = jnp.where(good[i], gy, 0.0)
+
+            # barycentric velocity (single_component.cl:161-212)
+            rho_tot = rho[0]
+            if has_forces:
+                sx = jx[0] + 0.5 * rho[0] * Gx[0]
+                sy = jy[0] + 0.5 * rho[0] * Gy[0]
+            else:
+                sx, sy = jx[0], jy[0]
+            for i in range(1, C):
+                rho_tot = rho_tot + rho[i]
+                if has_forces:
+                    sx = sx + jx[i] + 0.5 * rho[i] * Gx[i]
+                    sy = sy + jy[i] + 0.5 * rho[i] * Gy[i]
+                else:
+                    sx = sx + jx[i]
+                    sy = sy + jy[i]
+            inv_rt = 1.0 / rho_tot
+            ub = sx * inv_rt
+            vb = sy * inv_rt
+
+            # feq + Guo + BGK, pair-factored; quads shared across fluids
+            # with equal porosity (feq: single_component.cl:39-60; Guo:
+            # :104-113 / multi.cl:115-126)
+            upv = ub + vb
+            umv = ub - vb
+            usq = ub * ub + vb * vb
+            inv_cs2 = 1.0 / cs2
+            quad_cache = {}
+
+            def quads(eps):
+                """quad_j for all 9 directions at porosity eps."""
+                if eps in quad_cache:
+                    return quad_cache[eps]
+                se = usq * (0.5 / (cs2 * eps))
+                half_cs4e = 0.5 / (cs2 * cs2 * eps)
+
+                def qpair(a):
+                    t1 = a * inv_cs2
+                    r = a * a * half_cs4e - se
+                    return r + t1, r - t1
+
+                q1, q3 = qpair(ub)
+                q2, q4 = qpair(vb)
+                q5, q7 = qpair(upv)
+                q8, q6 = qpair(umv)
+                res = [-se, q1, q2, q3, q4, q5, q6, q7, q8]
+                quad_cache[eps] = res
+                return res
+
+            out = [[None] * q for _ in range(C)]
+            for i, fl in enumerate(cfg.fluids):
+                om, eps = fl.omega, fl.epsilon
+                A = 1.0 - om
+                qd = quads(eps)
+                # feq_j = w_j rho (1 + quad_j): share om*w*rho per w-class
+                wr = {}
+
+                def _wr(wj):
+                    if wj not in wr:
+                        wr[wj] = (om * wj) * rho[i]
+                    return wr[wj]
+
+                if has_forces:
+                    # Guo: F_j = w_j pref [rho] (3 cF_j + (9/eps) cF_j cu_j
+                    #                            - (3/eps) u.F); cu/cF pairs
+                    # share the product term
+                    pref = 1.0 - 0.5 * om
+                    e = eps if cfg.porous else 1.0
+                    Gxi, Gyi = Gx[i], Gy[i]
+                    uF3e = (Gxi * ub + Gyi * vb) * (3.0 / e)
+                    cu = [None, ub, vb, None, None, upv, None, None, umv]
+                    cF = [None, Gxi, Gyi, None, None, Gxi + Gyi, None,
+                          None, Gxi - Gyi]
+                    base = rho[i] * pref if cfg.porous else pref
+
+                    def guo_pair(j):
+                        nj = cF[j] * cu[j] * (9.0 / e) - uF3e
+                        t = 3.0 * cF[j]
+                        return nj + t, nj - t
+
+                    g1, g3 = guo_pair(1)
+                    g2, g4 = guo_pair(2)
+                    g5, g7 = guo_pair(5)
+                    g8, g6 = guo_pair(8)
+                    gs = [-uF3e, g1, g2, g3, g4, g5, g6, g7, g8]
+                    for j in range(q):
+                        base_j = _wr(ws[j])
+                        out[i][j] = (fs[i][j] * A + base_j
+                                     + base_j * qd[j]
+                                     + (ws[j] * base) * gs[j])
+                else:
+                    for j in range(q):
+                        base_j = _wr(ws[j])
+                        out[i][j] = fs[i][j] * A + base_j + base_j * qd[j]
+
+            # additional collisions (eating / growth), on post-stream rho
+            for coll in cfg.collisions:
+                if coll[0] == "eating":
+                    _, ei, ej, rate = coll
+                    growth = np.asarray(rate, dtype) * rho[ei] * rho[ej]
+                    for j in range(q):
+                        out[ei][j] = out[ei][j] + ws[j] * growth
+                        out[ej][j] = out[ej][j] - ws[j] * growth
+                else:
+                    _, gi, lo, hi, rate = coll
+                    grow = jnp.where((rho[gi] > lo) & (rho[gi] < hi),
+                                     np.asarray(rate, dtype), 0.0)
+                    for j in range(q):
+                        out[gi][j] = out[gi][j] + ws[j] * grow
+
+            if s < K - 1:
+                for i in range(C):
+                    for j in range(q):
+                        fo_rings[s][c % _NFO, j * C + i, :, :] = out[i][j]
+            else:
+                @pl.when((c >= 1) & (c <= Cb))
+                def _():
+                    @pl.when(c >= _NOUT + 1)
+                    def _():
+                        store(c - _NOUT).wait()
+
+                    for i in range(C):
+                        for j in range(q):
+                            out_ring[c % _NOUT, j * C + i, :, :] = out[i][j]
+                    store(c).start()
+
+        # prologue: three loads in flight
+        load(0)
+        load(1)
+        load(2)
+
+        def body(k, _):
+            @pl.when(k == 0)
+            def _():
+                load_wait(0)
+
+            @pl.when(k + 1 < V)
+            def _():
+                load_wait(k + 1)
+
+            # interleave: S_0(k), P_0(k-1), S_1(k-2), P_1(k-3), ...
+            for s in range(K):
+                @pl.when((k >= 2 * s) & (k - 2 * s < V))
+                def _(s=s):
+                    stream_stage(s, k - 2 * s)
+
+                @pl.when((k >= 2 * s + 1) & (k - 2 * s - 1 < V))
+                def _(s=s):
+                    phys_stage(s, k - 2 * s - 1)
+
+            @pl.when(k + 3 < V)
+            def _():
+                load(k + 3)
+            return 0
+
+        jax.lax.fori_loop(0, V + 2 * K - 2, body, 0)
+        if Cb >= 2:
+            store(Cb - 1).wait()
+        store(Cb).wait()
+
+    scratch = [pltpu.VMEM((_NIN, P, CH, nx), dtype)]
+    scratch += [pltpu.VMEM((_NFS, P, CH, nx), dtype) for _ in range(K)]
+    scratch += [pltpu.VMEM((_NRHO, C, CH, nx), dtype) for _ in range(K)]
+    scratch += [pltpu.VMEM((_NFO, P, CH, nx), dtype) for _ in range(K - 1)]
+    scratch += [pltpu.VMEM((_NOUT, P, CH, nx), dtype)]
+    if cfg.has_ext:
+        scratch.append(pltpu.VMEM((NE, 2 * C, CH, nx), dtype))
+    scratch.append(pltpu.SemaphoreType.DMA((_NIN,)))
+    if cfg.has_ext:
+        scratch.append(pltpu.SemaphoreType.DMA((NE,)))
+    scratch.append(pltpu.SemaphoreType.DMA((_NOUT,)))
+
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * (4 if cfg.has_ext else 3)
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((P, H, nx), dtype),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=K * (300 * C + 40 * len(cfg.interactions) * 8) * H * nx,
+            bytes_accessed=(2 * P + (2 * C if cfg.has_ext else 0))
+            * H * nx * 4,
+            transcendentals=0,
+        ),
+    )
+
+    if cfg.has_ext:
+        def step(f_loc, top_halo, bot_halo, g_ext):
+            return call(f_loc, top_halo, bot_halo, g_ext)
+    else:
+        def step(f_loc, top_halo, bot_halo):
+            return call(f_loc, top_halo, bot_halo)
+
+    step.chunk = CH
+    step.k_steps = K
+    return step

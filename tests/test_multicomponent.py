@@ -153,3 +153,156 @@ def test_screened_poisson_force_hook():
                                    interaction_length=2.0, amplitude=1e-3)
     sim.run(50)
     assert np.isfinite(sim.get_fields()["rho"]).all()
+
+
+# ---- fused Pallas kernel path (ops/fused_mc.py, interpret mode on CPU) ----
+
+def _aligned_runner(backend, porous=True, ny=24, nx=128, C=2):
+    sim = SimulationRunner(nx=nx, ny=ny, L_lb=nx, T_lb=1.0,
+                           num_populations=C, porous=porous, backend=backend)
+    for i in range(C):
+        sim.add_fluid(Fluid(sim, i, nu_e=0.5,
+                            epsilon=0.8 if porous else 1.0,
+                            nu_fluid=0.4, K=2.0, Fe=0.5))
+    sim.complete_setup()
+    rng = np.random.RandomState(3)
+    base = 0.5 + 0.05 * rng.rand(sim.ny, sim.nx)
+    sim.fluid_list[0].initialize(base)
+    if C > 1:
+        sim.fluid_list[1].initialize(1.0 - base)
+    return sim
+
+
+def test_kernel_parity_porous_shan_chen():
+    """Fused kernel vs XLA step: porous drag + first-belt Shan-Chen +
+    constant force + eating hook."""
+    sims = {}
+    for backend in ("kernel", "xla"):
+        sim = _aligned_runner(backend, porous=True)
+        sim.add_interaction_force(0, 1, G_int=1.5, potential="shan_chen",
+                                  potential_parameters=[1.0])
+        sim.add_constant_body_force(0, 1e-5, 0.0)
+        sim.add_eating_rate(0, 1, 0.01)
+        sim.run(5)
+        sims[backend] = sim
+    assert sims["kernel"].backend_used == "kernel"
+    assert sims["xla"].backend_used == "xla"
+    np.testing.assert_allclose(np.asarray(sims["kernel"].f),
+                               np.asarray(sims["xla"].f),
+                               atol=5e-7, rtol=1e-5)
+
+
+def test_kernel_parity_second_belt_ext_growth():
+    """Fused kernel vs XLA: two-belt stencil + screened-Poisson external
+    force planes + growth + gravity."""
+    sims = {}
+    for backend in ("kernel", "xla"):
+        sim = _aligned_runner(backend, porous=False, ny=32)
+        sim.add_interaction_force_second_belt(0, 1, G_int=1.5,
+                                              potential="linear")
+        sim.add_screened_poisson_force(0, 1, interaction_length=4.0,
+                                       amplitude=0.02)
+        sim.add_growth(0, 0.1, 2.0, 1e-4)
+        sim.add_constant_g_force(1, 0.0, 2e-6)
+        sim.run(5)
+        sims[backend] = sim
+    assert sims["kernel"].backend_used == "kernel"
+    np.testing.assert_allclose(np.asarray(sims["kernel"].f),
+                               np.asarray(sims["xla"].f),
+                               atol=5e-7, rtol=1e-5)
+
+
+def test_kernel_parity_no_forces():
+    """The no-forces fast path (G machinery skipped entirely)."""
+    sims = {}
+    for backend in ("kernel", "xla"):
+        sim = _aligned_runner(backend, porous=False)
+        sim.run(5)
+        sims[backend] = sim
+    assert sims["kernel"].backend_used == "kernel"
+    np.testing.assert_allclose(np.asarray(sims["kernel"].f),
+                               np.asarray(sims["xla"].f),
+                               atol=5e-7, rtol=1e-5)
+
+
+def test_kernel_sharded_parity():
+    """Fused kernel inside shard_map (ppermute halo chunks) on a virtual
+    4x1 mesh matches the unsharded XLA step."""
+    from lb2d_tpu.parallel.sharded import make_mesh
+
+    ref = _aligned_runner("xla", porous=False, ny=96)
+    ref.add_interaction_force(0, 1, G_int=1.5, potential="shan_chen",
+                              potential_parameters=[1.0])
+    ref.add_screened_poisson_force(0, 1, interaction_length=4.0,
+                                   amplitude=0.02)
+    ref.run(5)
+
+    mesh = make_mesh(4, shape=(4, 1))
+    sh = _aligned_runner("kernel", porous=False, ny=96)
+    sh.add_interaction_force(0, 1, G_int=1.5, potential="shan_chen",
+                             potential_parameters=[1.0])
+    sh.add_screened_poisson_force(0, 1, interaction_length=4.0,
+                                  amplitude=0.02)
+    sh.shard_over(mesh)
+    sh.run(5)
+    assert sh.backend_used == "kernel"
+    np.testing.assert_allclose(np.asarray(sh.f), np.asarray(ref.f),
+                               atol=5e-7, rtol=1e-5)
+
+
+def test_kernel_fallbacks():
+    """Ineligible configurations silently fall back to XLA in auto mode."""
+    # unaligned grid
+    sim = _runner(C=1, porous=False)
+    sim.add_fluid(Fluid(sim, 0, nu_e=0.4))
+    sim.complete_setup()
+    sim.fluid_list[0].initialize(np.ones((sim.ny, sim.nx)))
+    sim.run(1)
+    assert sim.backend_used == "xla"
+    # zero-gradient BC
+    sim = _aligned_runner("auto", porous=True, C=1)
+    sim.fluid_list[0].bc = "zero_gradient"
+    sim.run(1)
+    assert sim.backend_used == "xla"
+    # radial g-force (times_rho) is XLA-only
+    sim = _aligned_runner("auto", porous=False)
+    sim.add_radial_g_force(0, 8.0, 8.0, 1e-5, 1.0)
+    sim.run(1)
+    assert sim.backend_used == "xla"
+
+
+def test_kernel_temporal_k_parity():
+    """Temporal-blocked kernel (K LB steps per HBM sweep) matches the XLA
+    step bit-close at every K, including the non-multiple remainder path."""
+    ref = _aligned_runner("xla", porous=True, ny=64)
+    ref.add_interaction_force(0, 1, G_int=1.5, potential="shan_chen",
+                              potential_parameters=[1.0])
+    ref.add_eating_rate(0, 1, 0.01)
+    ref.run(10)
+    for K in (2, 4):
+        sim = _aligned_runner("kernel", porous=True, ny=64)
+        sim.add_interaction_force(0, 1, G_int=1.5, potential="shan_chen",
+                                  potential_parameters=[1.0])
+        sim.add_eating_rate(0, 1, 0.01)
+        sim.run(10, k_steps=K)  # 10 = 2 sweeps of 4 + 2 remainder at K=4
+        assert sim.steps_per_call == K
+        np.testing.assert_allclose(np.asarray(sim.f), np.asarray(ref.f),
+                                   atol=5e-7, rtol=1e-5)
+
+
+def test_kernel_temporal_sharded_parity():
+    """K-deep kernel inside shard_map on a virtual 4x1 mesh."""
+    from lb2d_tpu.parallel.sharded import make_mesh
+
+    ref = _aligned_runner("xla", porous=False, ny=96)
+    ref.add_interaction_force(0, 1, G_int=1.5, potential="shan_chen",
+                              potential_parameters=[1.0])
+    ref.run(8)
+    sh = _aligned_runner("kernel", porous=False, ny=96)
+    sh.add_interaction_force(0, 1, G_int=1.5, potential="shan_chen",
+                             potential_parameters=[1.0])
+    sh.shard_over(make_mesh(4, shape=(4, 1)))
+    sh.run(8)
+    assert sh.backend_used == "kernel" and sh.steps_per_call > 1
+    np.testing.assert_allclose(np.asarray(sh.f), np.asarray(ref.f),
+                               atol=5e-7, rtol=1e-5)
