@@ -6,9 +6,11 @@
 3. Scalar advection-diffusion (D2Q9_diffusion.cl equivalent).
 4. Multifield Fisher reaction-diffusion range expansion
    (D2Q9_multifield_fisher.cl).
-5. Pipe flow at 8192^2 domain-decomposed over the available device mesh
-   (single chip: 1x1 mesh) — the porous+Poisson-coupled variant of this
-   config additionally exercises SimulationRunner (config 5b).
+5. Porous-media 2-fluid flow with a per-step screened-Poisson repulsion
+   solve at 8192^2, domain-decomposed over the available device mesh
+   (single chip: 1x1 mesh) — the BASELINE.json config-5 workload
+   (multi.py:488-511 + single_component.py:679-751). 5b additionally
+   reports sharded pipe flow at 8192^2 (the pure halo-exchange fast path).
 
 Usage: python benchmarks/run_all.py [--quick]
 """
@@ -93,6 +95,40 @@ def bench_multifield(quick):
     return f"multifield fisher {sim.nx}x{sim.ny}x2", _measure(sim, steps), backend
 
 
+def bench_porous_poisson_8192(quick):
+    """BASELINE config 5: porous 2-fluid SimulationRunner + Shan-Chen
+    first-belt interaction + per-step screened-Poisson repulsion
+    (multi.py:488-511) at 8192^2, shard_over the device mesh. The fused
+    kernel runs per shard inside shard_map; the Poisson solve is a global
+    matmul-DFT (the axon backend has no XLA FFT) between kernel calls and
+    dominates the step — reported as-is."""
+    from lb2d_tpu.models.multicomponent import Fluid, SimulationRunner
+    from lb2d_tpu.parallel.sharded import make_mesh
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev, shape=(n_dev, 1))
+    size = 1024 if quick else 8192
+    sim = SimulationRunner(nx=size, ny=size, L_lb=size, T_lb=1.0,
+                           num_populations=2, porous=True)
+    for i in range(2):
+        sim.add_fluid(Fluid(sim, i, nu_e=1.0 / 6.0, epsilon=0.8,
+                            nu_fluid=1.0 / 6.0, K=10.0, Fe=0.1))
+    sim.complete_setup()
+    rng = np.random.RandomState(0)
+    base = 0.5 + 0.05 * rng.rand(size, size).astype(np.float32)
+    sim.fluid_list[0].initialize(base)
+    sim.fluid_list[1].initialize(1.0 - base)
+    sim.add_interaction_force(0, 1, G_int=1.5, potential="shan_chen",
+                              potential_parameters=[1.0])
+    sim.add_screened_poisson_force(0, 1, interaction_length=10.0,
+                                   amplitude=1e-4)
+    sim.shard_over(mesh)
+    steps = 3 if quick else 10
+    sim.run(steps, timed=True)
+    return (f"porous+poisson {size}^2 2-fluid mesh={n_dev}dev",
+            sim.last_mlups, sim.backend_used)
+
+
 def bench_sharded_8192(quick):
     from lb2d_tpu.parallel.sharded import ShardedPipeFlow, make_mesh
 
@@ -111,13 +147,14 @@ def bench_sharded_8192(quick):
     _sync(sim.state)
     dt = time.perf_counter() - t0
     mlups = sim.num_cells * steps / dt / 1e6
-    return f"sharded {sim.ny}x{sim.nx} mesh={n_dev}dev", mlups, "shard_map"
+    return f"sharded pipe {sim.ny}x{sim.nx} mesh={n_dev}dev", mlups, "shard_map"
 
 
 def main():
     quick = "--quick" in sys.argv
     for fn in (bench_poiseuille, bench_obstacle, bench_diffusion,
-               bench_multifield, bench_sharded_8192):
+               bench_multifield, bench_porous_poisson_8192,
+               bench_sharded_8192):
         try:
             name, mlups, backend = fn(quick)
             print(json.dumps({"config": name, "mlups": round(mlups, 1),

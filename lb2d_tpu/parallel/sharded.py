@@ -28,6 +28,7 @@ __all__ = [
     "make_sharded_temporal_step",
     "make_mesh",
     "ShardedPipeFlow",
+    "ShardedDiffusion",
 ]
 
 
@@ -177,6 +178,128 @@ def make_sharded_temporal_step(
     stepK = jax.shard_map(local_step, mesh=mesh, in_specs=(f_spec,),
                           out_specs=f_spec, check_vma=False)
     return stepK, NamedSharding(mesh, f_spec), k_steps
+
+
+class ShardedDiffusion:
+    """Domain decomposition for the advection-diffusion family — the
+    scaling path for the stochastic range-expansion workloads (the
+    reference scaled nothing; SURVEY §2.4/§5 name domain decomposition as
+    the framework's long-context answer).
+
+    Wraps a constructed :mod:`lb2d_tpu.models.diffusion` model (Diffusion,
+    AdvectionDiffusion, ReactionDiffusion, ReactionAdvectionDiffusion, or
+    the stochastic variant), shards ``f[9, ny, nx]`` over a y-decomposed
+    mesh, and runs the K-step temporal halo kernel per shard
+    (``physics="diffusion"`` / ``"noisy_fisher"``) with ``ppermute``
+    halo-chunk exchange. Because the physics is fully periodic, the
+    ppermute ring IS the true wrap: the sharded kernel needs **no seam
+    patch**, unlike the unsharded temporal kernel (DIVERGENCES.md #19) —
+    on the stochastic path the noise realization is a single consistent
+    on-core PRNG stream per (sweep, shard, chunk, stage).
+
+    Remainder iterations (n % K) run the model's XLA step under GSPMD on
+    the sharded state.
+    """
+
+    def __init__(self, base, mesh: Mesh | None = None,
+                 k_steps: int | None = None):
+        self.base = base
+        self.mesh = mesh if mesh is not None else make_mesh()
+        my = dict(self.mesh.shape)["y"]
+        mx = dict(self.mesh.shape).get("x", 1)
+        if mx != 1:
+            raise ValueError("ShardedDiffusion needs an x-unsharded mesh "
+                             "(lane rolls wrap whole rows)")
+        ny, nx = base.ny, base.nx
+        if ny % my:
+            raise ValueError(f"ny={ny} must divide mesh y={my}")
+        H = ny // my
+        self.nx, self.ny = nx, ny
+        self.num_cells = base.num_cells
+        self.noisy = hasattr(base, "Dg")
+        interpret = jax.default_backend() != "tpu"
+
+        from ..ops.fused_halo import (make_temporal_halo_step,
+                                      supports_temporal_halo)
+        if k_steps is None:
+            k_steps = next((k for k in (8, 6, 4, 2, 1)
+                            if supports_temporal_halo(H, nx, k)), None)
+            if k_steps is None:
+                raise ValueError(
+                    f"no halo-temporal tiling for shard {H}x{nx}")
+        self.steps_per_call = k_steps
+        u_lb = float(np.asarray(base.u).ravel()[0])
+        v_lb = float(np.asarray(base.v).ravel()[0])
+        kernel = make_temporal_halo_step(
+            ny=ny, nx=nx, H=H, omega=float(base.omega),
+            physics="noisy_fisher" if self.noisy else "diffusion",
+            u_lb=u_lb, v_lb=v_lb, lb_G=float(base._lb_G()),
+            lb_Dg=float(getattr(base, "Dg", 0.0)),
+            dtype=base.dtype, interpret=interpret, k_steps=k_steps)
+        CH = kernel.chunk
+
+        f_spec = P(None, "y", None)
+        self._sharding = NamedSharding(self.mesh, f_spec)
+        if self.noisy:
+            f0, key = base.state
+            self.state = (jax.device_put(f0, self._sharding), key)
+        else:
+            self.state = jax.device_put(base.state, self._sharding)
+
+        def local_step(f_loc, *seed):
+            top = f_loc[:, H - CH:, :]
+            bot = f_loc[:, :CH, :]
+            if my > 1:
+                top = _ring_shift(top, "y", +1)
+                bot = _ring_shift(bot, "y", -1)
+            y0 = (jax.lax.axis_index("y") * H).astype(jnp.int32)
+            if self.noisy:
+                # decorrelate shards: fold the shard index into the sweep
+                # seed (the kernel further mixes in chunk and stage)
+                s = seed[0] ^ (jax.lax.axis_index("y").astype(jnp.int32)
+                               * np.int32(-1640531535))
+                return kernel(f_loc, top, bot, y0.reshape(1, 1),
+                              s.reshape(1, 1))
+            return kernel(f_loc, top, bot, y0.reshape(1, 1))
+
+        if self.noisy:
+            sm = jax.shard_map(local_step, mesh=self.mesh,
+                               in_specs=(f_spec, P()), out_specs=f_spec,
+                               check_vma=False)
+
+            def stepK(state):
+                f, key = state
+                key, ks = jax.random.split(key)
+                seed = jax.lax.bitcast_convert_type(
+                    jax.random.bits(ks, (), jnp.uint32), jnp.int32)
+                return (sm(f, seed), key)
+        else:
+            sm = jax.shard_map(local_step, mesh=self.mesh,
+                               in_specs=(f_spec,), out_specs=f_spec,
+                               check_vma=False)
+            stepK = sm
+
+        self._run_main = jax.jit(
+            lambda s, n: jax.lax.fori_loop(0, n, lambda i, t: stepK(t), s),
+            donate_argnums=0)
+        xla_step = (base._make_xla_stochastic_step() if self.noisy
+                    else base._make_xla_step())
+        self._run_rem = jax.jit(
+            lambda s, n: jax.lax.fori_loop(
+                0, n, lambda i, t: xla_step(t), s),
+            donate_argnums=0)
+
+    def run(self, num_iterations: int):
+        n_calls, rem = divmod(int(num_iterations), self.steps_per_call)
+        if n_calls:
+            self.state = self._run_main(self.state, jnp.int32(n_calls))
+        if rem:
+            self.state = self._run_rem(self.state, jnp.int32(rem))
+        return self
+
+    def get_fields(self):
+        self.base.state = self.state
+        return self.base.get_fields()
 
 
 class ShardedPipeFlow:

@@ -161,3 +161,49 @@ class TestTemporalSharded:
     def test_make_mesh_raises_on_too_few_devices(self, has8):
         with pytest.raises(ValueError, match="only"):
             make_mesh(1024)
+
+
+# ---- ShardedDiffusion (VERDICT r1 #6: shard the diffusion family) ---------
+
+def test_sharded_diffusion_parity():
+    """Deterministic Fisher wave: K-step halo kernel inside shard_map on a
+    virtual 4x1 mesh matches the unsharded XLA step (no seam patch needed —
+    the ppermute ring IS the periodic wrap)."""
+    import jax
+    import jax.numpy as jnp
+    from lb2d_tpu.models.diffusion import ReactionAdvectionDiffusion
+    from lb2d_tpu.parallel.sharded import ShardedDiffusion, make_mesh
+
+    kw = dict(N=126, z=0.1, D=0.005, vx=1.0, vy=0.5, vc=1.0,
+              Lx=0.101, Ly=0.101, g=1.0)
+    ref = ReactionAdvectionDiffusion(**kw)
+    step = ref._make_xla_step()
+    run = jax.jit(lambda f, n: jax.lax.fori_loop(
+        0, n, lambda i, s: step(s), f))
+    fref = run(ref.state, 7)
+
+    sh = ShardedDiffusion(ReactionAdvectionDiffusion(**kw),
+                          mesh=make_mesh(4, shape=(4, 1)))
+    assert sh.steps_per_call > 1
+    sh.run(7)  # 3 sweeps + 1 remainder step
+    np.testing.assert_allclose(np.asarray(sh.state), np.asarray(fref),
+                               atol=1e-6, rtol=1e-5)
+
+
+def test_sharded_diffusion_noisy_runs():
+    """Stochastic Fisher on the sharded on-core-PRNG path: positive,
+    finite, and actually grows toward carrying capacity."""
+    from lb2d_tpu.models.diffusion import (
+        ReactionAdvectionDiffusionStochastic)
+    from lb2d_tpu.parallel.sharded import ShardedDiffusion, make_mesh
+
+    st = ReactionAdvectionDiffusionStochastic(
+        Dg=0.2, N=126, z=0.1, D=0.005, vx=1.0, vy=0.5, vc=1.0,
+        Lx=0.101, Ly=0.101, g=1.0)
+    sh = ShardedDiffusion(st, mesh=make_mesh(4, shape=(4, 1)))
+    rho0 = float(np.asarray(sh.get_fields()["rho"]).mean())
+    sh.run(6)
+    rho = np.asarray(sh.get_fields()["rho"])
+    assert np.isfinite(rho).all()
+    assert rho.min() >= 0.0
+    assert rho.mean() > rho0  # Fisher growth
