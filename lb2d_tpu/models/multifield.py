@@ -53,39 +53,20 @@ def _stream_fields(f, lattice):
 def noflux_bcs_multifield(f):
     """No-flux walls + corners for every field, exactly as
     ``D2Q9_multifield_fisher.cl:184-289`` (full bounce-back of the three
-    outgoing populations on each wall; three populations per corner)."""
-    s = f  # snapshot; each region reads pre-BC values on disjoint cells
+    outgoing populations on each wall; three populations per corner).
 
-    # north wall (on_top), interior columns: f7<-f5, f4<-f2, f8<-f6
-    f = (f.at[7, :, -1, 1:-1].set(s[5, :, -1, 1:-1])
-          .at[4, :, -1, 1:-1].set(s[2, :, -1, 1:-1])
-          .at[8, :, -1, 1:-1].set(s[6, :, -1, 1:-1]))
-    # south wall: f2<-f4, f5<-f7, f6<-f8
-    f = (f.at[2, :, 0, 1:-1].set(s[4, :, 0, 1:-1])
-          .at[5, :, 0, 1:-1].set(s[7, :, 0, 1:-1])
-          .at[6, :, 0, 1:-1].set(s[8, :, 0, 1:-1]))
-    # east wall: f3<-f1, f6<-f8, f7<-f5
-    f = (f.at[3, :, 1:-1, -1].set(s[1, :, 1:-1, -1])
-          .at[6, :, 1:-1, -1].set(s[8, :, 1:-1, -1])
-          .at[7, :, 1:-1, -1].set(s[5, :, 1:-1, -1]))
-    # west wall: f1<-f3, f5<-f7, f8<-f6
-    f = (f.at[1, :, 1:-1, 0].set(s[3, :, 1:-1, 0])
-          .at[5, :, 1:-1, 0].set(s[7, :, 1:-1, 0])
-          .at[8, :, 1:-1, 0].set(s[6, :, 1:-1, 0]))
-    # corners (D2Q9_multifield_fisher.cl:250-287)
-    f = (f.at[1, :, -1, 0].set(s[3, :, -1, 0])      # upper left
-          .at[4, :, -1, 0].set(s[2, :, -1, 0])
-          .at[8, :, -1, 0].set(s[6, :, -1, 0]))
-    f = (f.at[3, :, -1, -1].set(s[1, :, -1, -1])    # upper right
-          .at[4, :, -1, -1].set(s[2, :, -1, -1])
-          .at[7, :, -1, -1].set(s[5, :, -1, -1]))
-    f = (f.at[2, :, 0, -1].set(s[4, :, 0, -1])      # bottom right
-          .at[3, :, 0, -1].set(s[1, :, 0, -1])
-          .at[6, :, 0, -1].set(s[8, :, 0, -1]))
-    f = (f.at[1, :, 0, 0].set(s[3, :, 0, 0])        # bottom left
-          .at[2, :, 0, 0].set(s[4, :, 0, 0])
-          .at[5, :, 0, 0].set(s[7, :, 0, 0]))
-    return f
+    Implemented as masked selects via the shared tile helper — NOT
+    ``.at[].set`` edge scatters, which GSPMD miscompiles on y-sharded
+    arrays (every shard applies the global row -1 update to its own last
+    local row)."""
+    from ..ops.fused import _mf_noflux_walls
+
+    q, F, ny, nx = f.shape
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
+    laneid = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
+    st = [[f[j, p] for p in range(F)] for j in range(q)]
+    st = _mf_noflux_walls(st, rowid, laneid, ny, nx)
+    return jnp.stack([jnp.stack(st[j]) for j in range(q)])
 
 
 class _MultifieldBase(LBModel):

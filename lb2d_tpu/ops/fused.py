@@ -1105,6 +1105,145 @@ def make_temporal_pipe_step(
 # temporal-blocked kernel for the deterministic multifield family
 # ---------------------------------------------------------------------------
 
+def _mf_expansion_tile(st, omegas, lb_G, lb_Dg, cutoff, u_lb, v_lb,
+                       lattice, eta_fn):
+    """Periodic stochastic range expansion with nutrient
+    (``D2Q9_multifield_diffusion.cl:80-168``): clipped hydro, growth
+    ``G_p rho_p c``, Milstein noise per population, nutrient consumption
+    ``-sum react_p``, zero/negativity/NaN clipping. ``st`` is ``[q][F]``
+    streamed planes; ``eta_fn(p, shape)`` returns the population-p normal
+    field (or None when that population is noiseless)."""
+    q = lattice.q
+    F = len(omegas)
+    Pp = F - 1
+    cs2 = lattice.cs2
+    rhos = []
+    for p in range(F):
+        r = st[0][p]
+        for j in range(1, q):
+            r = r + st[j][p]
+        # clipped hydro (D2Q9_multifield_diffusion.cl:62-75)
+        rhos.append(jnp.where((r < cutoff) | jnp.isnan(r), 0.0, r))
+    c_nut = rhos[Pp]
+
+    reacts = []
+    for p in range(Pp):
+        r = lb_G[p] * rhos[p] * c_nut
+        if lb_Dg[p]:
+            eta = eta_fn(p, c_nut.shape)
+            # Milstein update (D2Q9_multifield_diffusion.cl:118-121)
+            amp = jnp.sqrt(jnp.maximum(lb_Dg[p] * rhos[p] * c_nut, 0.0))
+            r = (r + amp * eta
+                 + (lb_Dg[p] * 0.25) * c_nut * (eta * eta - 1.0))
+        reacts.append(r)
+    react_n = -reacts[0]
+    for p in range(1, Pp):
+        react_n = react_n - reacts[p]
+
+    out = [[None] * F for _ in range(q)]
+    for p in range(F):
+        om = omegas[p]
+        A = 1.0 - om
+        rho_p = rhos[p]
+        react = reacts[p] if p < Pp else react_n
+        badrho = rho_p < cutoff  # post-clip: catches clipped zeros
+        for j in range(q):
+            cu = lattice.cx[j] * u_lb + lattice.cy[j] * v_lb
+            coef = lattice.w[j] * (1.0 + cu / cs2)
+            val = (st[j][p] * A + (om * coef) * rho_p
+                   + lattice.w[j] * react)
+            bad = badrho | (val < 0) | jnp.isnan(val)
+            out[j][p] = jnp.where(bad, 0.0, val)
+    return out
+
+
+def _mf_noflux_walls(st, rowid, laneid, ny, nx):
+    """No-flux walls + corners per field as masked selects
+    (``D2Q9_multifield_fisher.cl:184-289``). ``st`` is ``[q][F]`` streamed
+    planes; masks use global coordinates so the same code serves full
+    arrays, kernel chunks, and shards. (Masked selects, not ``.at[].set``
+    scatters: GSPMD miscompiles edge scatters on y-sharded arrays by
+    applying the global row -1 update to every shard's last local row.)"""
+    q = len(st)
+    F = len(st[0])
+    row_int = (rowid >= 1) & (rowid <= ny - 2)
+    lane_int = (laneid >= 1) & (laneid <= nx - 2)
+    lane0 = laneid == 0
+    laneN = laneid == nx - 1
+    row0 = rowid == 0
+    rowN = rowid == ny - 1
+    m_n = rowN & lane_int
+    m_s = row0 & lane_int
+    m_e = laneN & row_int
+    m_w = lane0 & row_int
+    ul = rowN & lane0
+    ur = rowN & laneN
+    br = row0 & laneN
+    bl = row0 & lane0
+    for p in range(F):
+        s = tuple(st[j][p] for j in range(q))
+        # north: f7<-f5, f4<-f2, f8<-f6 ; south: f2<-f4, f5<-f7, f6<-f8
+        st[7][p] = jnp.where(m_n, s[5], st[7][p])
+        st[4][p] = jnp.where(m_n, s[2], st[4][p])
+        st[8][p] = jnp.where(m_n, s[6], st[8][p])
+        st[2][p] = jnp.where(m_s, s[4], st[2][p])
+        st[5][p] = jnp.where(m_s, s[7], st[5][p])
+        st[6][p] = jnp.where(m_s, s[8], st[6][p])
+        # east: f3<-f1, f6<-f8, f7<-f5 ; west: f1<-f3, f5<-f7, f8<-f6
+        st[3][p] = jnp.where(m_e, s[1], st[3][p])
+        st[6][p] = jnp.where(m_e, s[8], st[6][p])
+        st[7][p] = jnp.where(m_e, s[5], st[7][p])
+        st[1][p] = jnp.where(m_w, s[3], st[1][p])
+        st[5][p] = jnp.where(m_w, s[7], st[5][p])
+        st[8][p] = jnp.where(m_w, s[6], st[8][p])
+        # corners (3 populations each)
+        st[1][p] = jnp.where(ul | bl, s[3], st[1][p])
+        st[4][p] = jnp.where(ul | ur, s[2], st[4][p])
+        st[8][p] = jnp.where(ul, s[6], st[8][p])
+        st[3][p] = jnp.where(ur | br, s[1], st[3][p])
+        st[7][p] = jnp.where(ur, s[5], st[7][p])
+        st[2][p] = jnp.where(br | bl, s[4], st[2][p])
+        st[6][p] = jnp.where(br, s[8], st[6][p])
+        st[5][p] = jnp.where(bl, s[7], st[5][p])
+    return st
+
+
+def _mf_fisher_tile(st, rowid, laneid, ny, nx, omegas, lb_G, u_lb, v_lb,
+                    lattice):
+    """No-flux walls + corners per field
+    (``D2Q9_multifield_fisher.cl:184-289``) followed by logistic-competition
+    collide (``:74-122``). ``st`` is ``[q][F]`` streamed planes with
+    global-coordinate masks from ``rowid``/``laneid``."""
+    q = lattice.q
+    F = len(omegas)
+    st = _mf_noflux_walls(st, rowid, laneid, ny, nx)
+
+    # moments + logistic competition + linear feq + per-field omega
+    rhos = []
+    for p in range(F):
+        r = st[0][p]
+        for j in range(1, q):
+            r = r + st[j][p]
+        rhos.append(r)
+    rho_tot = rhos[0]
+    for p in range(1, F):
+        rho_tot = rho_tot + rhos[p]
+    one_minus = 1.0 - rho_tot
+
+    out = [[None] * F for _ in range(q)]
+    cs2 = lattice.cs2
+    for p in range(F):
+        om = omegas[p]
+        A = 1.0 - om
+        growth = lb_G[p] * rhos[p] * one_minus
+        for j in range(q):
+            cu = lattice.cx[j] * u_lb + lattice.cy[j] * v_lb
+            coef = lattice.w[j] * (1.0 + cu / cs2)
+            out[j][p] = (st[j][p] * A + (om * coef) * rhos[p]
+                         + lattice.w[j] * growth)
+    return out
+
+
 def supports_temporal_multifield(ny: int, nx: int, num_fields: int,
                                  k_steps: int = 2) -> bool:
     if not (nx % 128 == 0 and ny % _T2_CH == 0
@@ -1193,64 +1332,25 @@ def make_temporal_multifield_step(
                 sem_out.at[c % _T2_NO])
 
         def _expansion_collide(st, k, stage):
-            """Periodic stochastic range expansion with nutrient
-            (``D2Q9_multifield_diffusion.cl:80-168``): clipped hydro,
-            growth ``G_p rho_p c``, Milstein noise per population,
-            nutrient consumption ``-sum react_p``, zero/negativity/NaN
-            clipping. Normals come from the on-core PRNG, one seed per
-            (sweep, chunk, stage), P sequential Box-Muller draws."""
-            Pp = F - 1
-            cs2 = lattice.cs2
-            rhos = []
-            for p in range(F):
-                r = st[0][p]
-                for j in range(1, q):
-                    r = r + st[j][p]
-                # clipped hydro (D2Q9_multifield_diffusion.cl:62-75)
-                rhos.append(jnp.where((r < cutoff) | jnp.isnan(r), 0.0, r))
-            c_nut = rhos[Pp]
-
+            """Normals from the on-core PRNG, one seed per (sweep, chunk,
+            stage), P sequential Box-Muller draws; physics in
+            :func:`_mf_expansion_tile`."""
             if noisy and not interpret:
                 pltpu.prng_seed(seed_ref[0, 0]
                                 ^ (k * np.int32(-1640531535)
                                    + np.int32(stage * 40503)))
-            reacts = []
-            for p in range(Pp):
-                r = lb_G[p] * rhos[p] * c_nut
-                if lb_Dg[p]:
-                    if interpret:
-                        eta = _normal_from_hash(
-                            seed_ref[0, 0]
-                            ^ (k * np.int32(-1640531535)
-                               + np.int32(stage * 40503 + p * 7919)),
-                            c_nut.shape)
-                    else:
-                        eta = _normal_from_bits(c_nut.shape)
-                    # Milstein update (D2Q9_multifield_diffusion.cl:118-121)
-                    amp = jnp.sqrt(
-                        jnp.maximum(lb_Dg[p] * rhos[p] * c_nut, 0.0))
-                    r = (r + amp * eta
-                         + (lb_Dg[p] * 0.25) * c_nut * (eta * eta - 1.0))
-                reacts.append(r)
-            react_n = -reacts[0]
-            for p in range(1, Pp):
-                react_n = react_n - reacts[p]
 
-            out = [[None] * F for _ in range(q)]
-            for p in range(F):
-                om = omegas[p]
-                A = 1.0 - om
-                rho_p = rhos[p]
-                react = reacts[p] if p < Pp else react_n
-                badrho = rho_p < cutoff  # post-clip: catches clipped zeros
-                for j in range(q):
-                    cu = lattice.cx[j] * w_ulb + lattice.cy[j] * w_vlb
-                    coef = lattice.w[j] * (1.0 + cu / cs2)
-                    val = (st[j][p] * A + (om * coef) * rho_p
-                           + lattice.w[j] * react)
-                    bad = badrho | (val < 0) | jnp.isnan(val)
-                    out[j][p] = jnp.where(bad, 0.0, val)
-            return out
+            def eta_fn(p, shape):
+                if interpret:
+                    return _normal_from_hash(
+                        seed_ref[0, 0]
+                        ^ (k * np.int32(-1640531535)
+                           + np.int32(stage * 40503 + p * 7919)),
+                        shape)
+                return _normal_from_bits(shape)
+
+            return _mf_expansion_tile(st, omegas, lb_G, lb_Dg, cutoff,
+                                      w_ulb, w_vlb, lattice, eta_fn)
 
         def chunk_step(ring, depth, k, stage=0):
             prev = (k - 1) % depth
@@ -1277,72 +1377,10 @@ def make_temporal_multifield_step(
             if expansion:
                 return _expansion_collide(st, k, stage)
 
-            # no-flux walls + corners per field (D2Q9_multifield_fisher.cl:184-289)
+            # no-flux walls + logistic competition (shared tile fn)
             rowid = rowid0 + k * CH
-            row_int = (rowid >= 1) & (rowid <= ny - 2)
-            lane_int = (laneid >= 1) & (laneid <= nx - 2)
-            lane0 = laneid == 0
-            laneN = laneid == nx - 1
-            row0 = rowid == 0
-            rowN = rowid == ny - 1
-            m_n = rowN & lane_int
-            m_s = row0 & lane_int
-            m_e = laneN & row_int
-            m_w = lane0 & row_int
-            ul = rowN & lane0
-            ur = rowN & laneN
-            br = row0 & laneN
-            bl = row0 & lane0
-            for p in range(F):
-                s = tuple(st[j][p] for j in range(q))
-                # north: f7<-f5, f4<-f2, f8<-f6 ; south: f2<-f4, f5<-f7, f6<-f8
-                st[7][p] = jnp.where(m_n, s[5], st[7][p])
-                st[4][p] = jnp.where(m_n, s[2], st[4][p])
-                st[8][p] = jnp.where(m_n, s[6], st[8][p])
-                st[2][p] = jnp.where(m_s, s[4], st[2][p])
-                st[5][p] = jnp.where(m_s, s[7], st[5][p])
-                st[6][p] = jnp.where(m_s, s[8], st[6][p])
-                # east: f3<-f1, f6<-f8, f7<-f5 ; west: f1<-f3, f5<-f7, f8<-f6
-                st[3][p] = jnp.where(m_e, s[1], st[3][p])
-                st[6][p] = jnp.where(m_e, s[8], st[6][p])
-                st[7][p] = jnp.where(m_e, s[5], st[7][p])
-                st[1][p] = jnp.where(m_w, s[3], st[1][p])
-                st[5][p] = jnp.where(m_w, s[7], st[5][p])
-                st[8][p] = jnp.where(m_w, s[6], st[8][p])
-                # corners (3 populations each)
-                st[1][p] = jnp.where(ul | bl, s[3], st[1][p])
-                st[4][p] = jnp.where(ul | ur, s[2], st[4][p])
-                st[8][p] = jnp.where(ul, s[6], st[8][p])
-                st[3][p] = jnp.where(ur | br, s[1], st[3][p])
-                st[7][p] = jnp.where(ur, s[5], st[7][p])
-                st[2][p] = jnp.where(br | bl, s[4], st[2][p])
-                st[6][p] = jnp.where(br, s[8], st[6][p])
-                st[5][p] = jnp.where(bl, s[7], st[5][p])
-
-            # moments + logistic competition + linear feq + per-field omega
-            rhos = []
-            for p in range(F):
-                r = st[0][p]
-                for j in range(1, q):
-                    r = r + st[j][p]
-                rhos.append(r)
-            rho_tot = rhos[0]
-            for p in range(1, F):
-                rho_tot = rho_tot + rhos[p]
-            one_minus = 1.0 - rho_tot
-
-            out = [[None] * F for _ in range(q)]
-            cs2 = lattice.cs2
-            for p in range(F):
-                om = omegas[p]
-                A = 1.0 - om
-                growth = lb_G[p] * rhos[p] * one_minus
-                for j in range(q):
-                    cu = lattice.cx[j] * w_ulb + lattice.cy[j] * w_vlb
-                    coef = lattice.w[j] * (1.0 + cu / cs2)
-                    out[j][p] = (st[j][p] * A + (om * coef) * rhos[p]
-                                 + lattice.w[j] * growth)
-            return out
+            return _mf_fisher_tile(st, rowid, laneid, ny, nx, omegas, lb_G,
+                                   w_ulb, w_vlb, lattice)
 
         load(0).start()
         load(1).start()

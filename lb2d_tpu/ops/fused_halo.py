@@ -39,6 +39,8 @@ from ..core.lattice import Lattice, D2Q9
 from .fused import (
     _diffusion_collide,
     _lane_roll,
+    _mf_expansion_tile,
+    _mf_fisher_tile,
     _moments_feq_collide,
     _normal_from_bits,
     _normal_from_hash,
@@ -106,6 +108,11 @@ def make_temporal_halo_step(
     lb_G: float = 0.0,
     lb_Dg: float = 0.0,
     chunk: int | None = None,
+    num_fields: int = 1,
+    omegas=None,
+    lb_Gs=None,
+    lb_Dgs=None,
+    cutoff: float = 0.01,
 ):
     """Build ``stepK(f_loc, top_halo, bot_halo, y0 [, seed]) -> f_loc``
     advancing one y-shard by ``k_steps`` LB steps.
@@ -123,7 +130,8 @@ def make_temporal_halo_step(
     """
     K = int(k_steps)
     assert K >= 1
-    CH = chunk if chunk is not None else pick_halo_chunk(H, nx, K)
+    F = int(num_fields)
+    CH = chunk if chunk is not None else pick_halo_chunk(H, nx, K, F)
     if CH is None or K > CH or H % CH:
         raise ValueError(f"no halo-temporal tiling for shard {H}x{nx}, K={K}")
     C = H // CH        # stored chunks
@@ -131,9 +139,25 @@ def make_temporal_halo_step(
     assert V >= max(_NS, 3 + K), (V, K)
     q = lattice.q
     incompressible = equilibrium == "incompressible"
-    assert physics in ("flow", "diffusion", "noisy_fisher", "velocity_inlet")
+    assert physics in ("flow", "diffusion", "noisy_fisher", "velocity_inlet",
+                       "multifield_fisher", "multifield_expansion")
+    mf = physics.startswith("multifield")
+    assert (F > 1) == mf
+    P = q * F
     diffusion = physics in ("diffusion", "noisy_fisher")
-    noisy = physics == "noisy_fisher"
+    if mf:
+        omegas = [float(o) for o in np.asarray(omegas).ravel()]
+        lb_Gs = [float(g) for g in np.asarray(lb_Gs).ravel()]
+        assert len(omegas) == F
+        if physics == "multifield_expansion":
+            lb_Dgs = [float(d) for d in np.asarray(lb_Dgs).ravel()]
+            assert len(lb_Gs) == F - 1 and len(lb_Dgs) == F - 1
+            noisy = any(lb_Dgs)
+        else:
+            assert len(lb_Gs) == F
+            noisy = False
+    else:
+        noisy = physics == "noisy_fisher"
     vel_inlet = physics == "velocity_inlet"
     w_inlet = np.asarray(inlet_rho, dtype)
     w_outlet = np.asarray(outlet_rho, dtype)
@@ -198,24 +222,55 @@ def make_temporal_halo_step(
         def chunk_step(ring, depth, c, stage):
             """One LB step for virtual chunk c; halos from ring chunks
             c-1 / c+1 (stale slots at the block edges feed only the halo
-            chunks' outer rows, which are never stored)."""
+            chunks' outer rows, which are never stored). Returns a flat
+            list of P planes (plane order ``j * F + p``)."""
             prev = (c - 1) % depth
             cur = c % depth
             nxt = (c + 1) % depth
-            st = []
-            for j in range(q):
-                cxj, cyj = lattice.cx[j], lattice.cy[j]
+
+            def streamed(pi, cxj, cyj):
                 if cyj == 1:
                     rows = jnp.concatenate(
-                        [ring[prev, j, CH - 1:CH, :],
-                         ring[cur, j, 0:CH - 1, :]], axis=0)
+                        [ring[prev, pi, CH - 1:CH, :],
+                         ring[cur, pi, 0:CH - 1, :]], axis=0)
                 elif cyj == -1:
                     rows = jnp.concatenate(
-                        [ring[cur, j, 1:CH, :],
-                         ring[nxt, j, 0:1, :]], axis=0)
+                        [ring[cur, pi, 1:CH, :],
+                         ring[nxt, pi, 0:1, :]], axis=0)
                 else:
-                    rows = ring[cur, j, :, :]
-                st.append(_lane_roll(rows, cxj, nx))
+                    rows = ring[cur, pi, :, :]
+                return _lane_roll(rows, cxj, nx)
+
+            if mf:
+                st = [[streamed(j * F + p, lattice.cx[j], lattice.cy[j])
+                       for p in range(F)] for j in range(q)]
+                if physics == "multifield_expansion":
+                    if noisy and not interpret:
+                        pltpu.prng_seed(seed_ref[0, 0]
+                                        ^ (c * np.int32(-1640531535)
+                                           + np.int32(stage * 40503)))
+
+                    def eta_fn(p, shape):
+                        if interpret:
+                            return _normal_from_hash(
+                                seed_ref[0, 0]
+                                ^ (c * np.int32(-1640531535)
+                                   + np.int32(stage * 40503 + p * 7919)),
+                                shape)
+                        return _normal_from_bits(shape)
+
+                    res = _mf_expansion_tile(st, omegas, lb_Gs, lb_Dgs,
+                                             cutoff, w_ulb, w_vlb, lattice,
+                                             eta_fn)
+                else:
+                    rowid = rowid0 + ((c - 1) * CH + y0)
+                    res = _mf_fisher_tile(st, rowid, laneid, ny, nx,
+                                          omegas, lb_Gs, w_ulb, w_vlb,
+                                          lattice)
+                return [res[j][p] for j in range(q) for p in range(F)]
+
+            st = [streamed(j, lattice.cx[j], lattice.cy[j])
+                  for j in range(q)]
             if diffusion:
                 res = _diffusion_collide(st, w_omega, w_ulb, w_vlb,
                                          w_G if lb_G else 0.0, lattice)
@@ -273,8 +328,8 @@ def make_temporal_halo_step(
                 def _():
                     store(c - _NO).wait()
 
-                for j in range(q):
-                    out_ring[c % _NO, j, :, :] = res[j]
+                for pi in range(P):
+                    out_ring[c % _NO, pi, :, :] = res[pi]
                 store(c).start()
 
         def body(k, _):
@@ -295,8 +350,8 @@ def make_temporal_halo_step(
                 @pl.when(k < V)
                 def _():
                     res = chunk_step(in_ring, _NS, k, stage=0)
-                    for j in range(q):
-                        mids[0][k % _NM, j, :, :] = res[j]
+                    for pi in range(P):
+                        mids[0][k % _NM, pi, :, :] = res[pi]
 
                 # intermediate stages s = 1..K-2 on chunk k - s
                 for s in range(1, K - 1):
@@ -304,8 +359,8 @@ def make_temporal_halo_step(
                     def _(s=s):
                         c = k - s
                         res = chunk_step(mids[s - 1], _NM, c, stage=s)
-                        for j in range(q):
-                            mids[s][c % _NM, j, :, :] = res[j]
+                        for pi in range(P):
+                            mids[s][c % _NM, pi, :, :] = res[pi]
 
                 # final stage on chunk k - (K-1)
                 @pl.when((k >= K - 1) & (k - (K - 1) < V))
@@ -322,9 +377,9 @@ def make_temporal_halo_step(
             store(C - 1).wait()
         store(C).wait()
 
-    scratch = [pltpu.VMEM((_NS, q, CH, nx), dtype)]
-    scratch += [pltpu.VMEM((_NM, q, CH, nx), dtype) for _ in range(K - 1)]
-    scratch += [pltpu.VMEM((_NO, q, CH, nx), dtype)]
+    scratch = [pltpu.VMEM((_NS, P, CH, nx), dtype)]
+    scratch += [pltpu.VMEM((_NM, P, CH, nx), dtype) for _ in range(K - 1)]
+    scratch += [pltpu.VMEM((_NO, P, CH, nx), dtype)]
     scratch += [
         pltpu.SemaphoreType.DMA((_NS,)),
         pltpu.SemaphoreType.DMA((_NO,)),
@@ -341,7 +396,7 @@ def make_temporal_halo_step(
 
     call = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((q, H, nx), dtype),
+        out_shape=jax.ShapeDtypeStruct((P, H, nx), dtype),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=scratch,
@@ -350,8 +405,8 @@ def make_temporal_halo_step(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=220 * K * H * nx,
-            bytes_accessed=2 * q * H * nx * 4,
+            flops=220 * K * F * H * nx,
+            bytes_accessed=2 * P * H * nx * 4,
             transcendentals=0,
         ),
     )

@@ -29,6 +29,7 @@ __all__ = [
     "make_mesh",
     "ShardedPipeFlow",
     "ShardedDiffusion",
+    "ShardedMultifield",
 ]
 
 
@@ -300,6 +301,202 @@ class ShardedDiffusion:
     def get_fields(self):
         self.base.state = self.state
         return self.base.get_fields()
+
+
+class ShardedMultifield:
+    """Domain decomposition for the multifield families
+    (:class:`~lb2d_tpu.models.multifield.FisherExpansion` /
+    :class:`~lb2d_tpu.models.multifield.Expansion`): shards
+    ``f[q, F, ny, nx]`` over a y-decomposed mesh and runs the K-step
+    multifield halo kernel per shard.
+
+    * ``Expansion`` (periodic, stochastic): the ppermute ring is the true
+      wrap — no seam patch; on-core PRNG seeded per (sweep, shard, chunk,
+      stage).
+    * ``FisherExpansion`` (no-flux walls): interior shard boundaries get
+      exact halos; the two *global* wall rows see torus-wrapped garbage the
+      wall BCs mostly-but-not-fully rewrite (same analysis as the unsharded
+      kernel), so rows within K of either wall are recomputed with K plain
+      XLA steps on a 6K-row band assembled under GSPMD.
+    """
+
+    def __init__(self, base, mesh: Mesh | None = None,
+                 k_steps: int | None = None):
+        from ..models.multifield import Expansion, FisherExpansion
+        from ..ops.fused_halo import (make_temporal_halo_step,
+                                      supports_temporal_halo)
+
+        self.base = base
+        self.mesh = mesh if mesh is not None else make_mesh()
+        my = dict(self.mesh.shape)["y"]
+        if dict(self.mesh.shape).get("x", 1) != 1:
+            raise ValueError("ShardedMultifield needs an x-unsharded mesh")
+        ny, nx = base.ny, base.nx
+        if ny % my:
+            raise ValueError(f"ny={ny} must divide mesh y={my}")
+        H = ny // my
+        self.nx, self.ny = nx, ny
+        self.num_cells = base.num_cells
+        F = base.num_fields
+        q = base.lattice.q
+        self.noisy = isinstance(base, Expansion)
+        fisher = isinstance(base, FisherExpansion)
+        assert self.noisy or fisher
+        interpret = jax.default_backend() != "tpu"
+
+        if k_steps is None:
+            k_steps = next(
+                (k for k in (8, 6, 4, 2, 1)
+                 if pick_halo_chunk_mf(H, nx, k, F)), None)
+            if k_steps is None:
+                raise ValueError(
+                    f"no multifield halo tiling for shard {H}x{nx} F={F}")
+        K = self.steps_per_call = k_steps
+        if self.noisy:
+            # Expansion: F = populations + nutrient; per-field omegas are
+            # the population list + the nutrient's (stochastic_nutrients.py
+            # :204-250)
+            omegas = (list(np.asarray(base.omega).ravel())
+                      + [float(base.omega_nutrient)])
+            mf_kw = dict(physics="multifield_expansion", omegas=omegas,
+                         lb_Gs=base.lb_G, lb_Dgs=base.lb_Dg,
+                         cutoff=base.zero_cutoff)
+        else:
+            mf_kw = dict(physics="multifield_fisher", omegas=base.omega,
+                         lb_Gs=base.lb_G)
+        kernel = make_temporal_halo_step(
+            ny=ny, nx=nx, H=H, omega=1.0,  # scalar omega unused on mf paths
+            num_fields=F, u_lb=float(base.lb_vx), v_lb=float(base.lb_vy),
+            dtype=base.dtype, interpret=interpret, k_steps=K, **mf_kw)
+        CH = kernel.chunk
+        Pp = q * F
+
+        f_spec = P(None, "y", None)
+        self._sharding = NamedSharding(self.mesh, f_spec)
+        if self.noisy:
+            f0, key = base.state
+            f0 = jax.device_put(f0.reshape(Pp, ny, nx), self._sharding)
+            self.state = (f0, key)
+        else:
+            self.state = jax.device_put(
+                base.state.reshape(Pp, ny, nx), self._sharding)
+
+        def local_step(f_loc, *seed):
+            top = f_loc[:, H - CH:, :]
+            bot = f_loc[:, :CH, :]
+            if my > 1:
+                top = _ring_shift(top, "y", +1)
+                bot = _ring_shift(bot, "y", -1)
+            y0 = (jax.lax.axis_index("y") * H).astype(jnp.int32)
+            if self.noisy:
+                s = seed[0] ^ (jax.lax.axis_index("y").astype(jnp.int32)
+                               * np.int32(-1640531535))
+                return kernel(f_loc, top, bot, y0.reshape(1, 1),
+                              s.reshape(1, 1))
+            return kernel(f_loc, top, bot, y0.reshape(1, 1))
+
+        xla_step = base._make_xla_step() if fisher else None
+        if self.noisy:
+            sm = jax.shard_map(local_step, mesh=self.mesh,
+                               in_specs=(f_spec, P()), out_specs=f_spec,
+                               check_vma=False)
+
+            def stepK(state):
+                f, key = state
+                key, ks = jax.random.split(key)
+                seed = jax.lax.bitcast_convert_type(
+                    jax.random.bits(ks, (), jnp.uint32), jnp.int32)
+                return (sm(f, seed), key)
+        else:
+            B = 3 * K
+            rep3 = NamedSharding(self.mesh, P(None, None, None))
+            rep4 = NamedSharding(self.mesh, P(None, None, None, None))
+
+            def local_patched(f_loc, band):
+                """Kernel sweep + in-shard wall splice. ``band`` is the
+                replicated, already-K-stepped 2B-row wall band; each shard
+                overwrites the global rows [0, K) / [ny-K, ny) it owns
+                with local masked writes (GSPMD scatters onto the y-sharded
+                array miscompile, so the splice stays inside shard_map)."""
+                out_loc = local_step(f_loc)
+                H_loc = out_loc.shape[1]
+                y0 = jax.lax.axis_index("y") * H_loc
+                rowid = (jax.lax.iota(jnp.int32, H_loc) + y0)[None, :, None]
+                lo = jnp.pad(band[:, :K, :],
+                             ((0, 0), (0, H_loc - K), (0, 0)))
+                hi = jnp.pad(band[:, 2 * B - K:, :],
+                             ((0, 0), (H_loc - K, 0), (0, 0)))
+                out_loc = jnp.where(rowid < K, lo, out_loc)
+                out_loc = jnp.where(rowid >= ny - K, hi, out_loc)
+                return out_loc
+
+            smp = jax.shard_map(local_patched, mesh=self.mesh,
+                                in_specs=(f_spec, P(None, None, None)),
+                                out_specs=f_spec, check_vma=False)
+
+            def stepK(f):
+                # wall seam patch (cf. FisherExpansion._make_temporal_step).
+                # The band is pinned REPLICATED: GSPMD miscompiles the
+                # rolled/edge-updated step on the tiny 2B-row concat when it
+                # partitions it over y (verified wrong vs eager), and at 6K
+                # rows replication is free.
+                band = jnp.concatenate(
+                    [f[:, :B, :], f[:, ny - B:, :]],
+                    axis=1).reshape(q, F, 2 * B, nx)
+                band = jax.lax.with_sharding_constraint(band, rep4)
+                for _ in range(K):
+                    band = jax.lax.with_sharding_constraint(
+                        xla_step(band), rep4)
+                band = jax.lax.with_sharding_constraint(
+                    band.reshape(Pp, 2 * B, nx), rep3)
+                return smp(f, band)
+
+        self._run_main = jax.jit(
+            lambda s, n: jax.lax.fori_loop(0, n, lambda i, t: stepK(t), s),
+            donate_argnums=0)
+
+        if self.noisy:
+            xstep = base._make_xla_stochastic_step()
+
+            def rem_step(state):
+                f, key = state
+                f4 = f.reshape(q, F, ny, nx)
+                f4, key = xstep((f4, key))
+                return (f4.reshape(Pp, ny, nx), key)
+        else:
+            def rem_step(f):
+                return xla_step(
+                    f.reshape(q, F, ny, nx)).reshape(Pp, ny, nx)
+
+        self._run_rem = jax.jit(
+            lambda s, n: jax.lax.fori_loop(
+                0, n, lambda i, t: rem_step(t), s),
+            donate_argnums=0)
+        self._q, self._F = q, F
+
+    def run(self, num_iterations: int):
+        n_calls, rem = divmod(int(num_iterations), self.steps_per_call)
+        if n_calls:
+            self.state = self._run_main(self.state, jnp.int32(n_calls))
+        if rem:
+            self.state = self._run_rem(self.state, jnp.int32(rem))
+        return self
+
+    def _state4(self):
+        q, F = self._q, self._F
+        if self.noisy:
+            f, key = self.state
+            return (f.reshape(q, F, self.ny, self.nx), key)
+        return self.state.reshape(q, F, self.ny, self.nx)
+
+    def get_fields(self):
+        self.base.state = self._state4()
+        return self.base.get_fields()
+
+
+def pick_halo_chunk_mf(H, nx, k, F):
+    from ..ops.fused_halo import pick_halo_chunk
+    return pick_halo_chunk(H, nx, k, num_fields=F)
 
 
 class ShardedPipeFlow:
