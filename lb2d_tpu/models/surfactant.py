@@ -154,6 +154,13 @@ class SurfactantNutrientWave(LBModel):
         return None
 
     def make_step(self):
+        if jax.default_backend() == "tpu":
+            step = self._make_kernel_step()
+            if step is not None:
+                return step
+        return self._make_xla_step()
+
+    def _make_xla_step(self):
         from .multifield import _stream_fields
 
         lat = self.lattice
@@ -165,6 +172,59 @@ class SurfactantNutrientWave(LBModel):
             u, v = velocity(rho[self.POP])
             feq = self._feq(rho, u, v)
             return self._collide(f, feq, rho, force=self._force(rho))
+
+        return step
+
+    _clumpy = False
+
+    def _make_kernel_step(self, interpret=None):
+        """Fused kernel (``ops/fused_coupled.py``): growth coupling (and
+        the Clumpy pseudo-force) fuse with stream+collide; the velocity —
+        a global screened-Poisson solve of the *post-stream* population
+        density — is computed outside (periodic rolls + spectral solve)
+        and enters as a 2-plane external input, pinning K=1."""
+        from ..ops.fused_coupled import (make_surfactant_step,
+                                         pick_coupled_tiling)
+
+        ny, nx = self.ny, self.nx
+        if self.dtype != jnp.float32:
+            return None
+        belt = 1 if self._clumpy else 0
+        if pick_coupled_tiling(ny, nx, belt, 2, 1) is None:
+            return None
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        kw = {}
+        if self._clumpy:
+            kw = dict(clumpy=True, rho_o=float(self.rho_o),
+                      G_chen=float(self.G_chen))
+        kernel = make_surfactant_step(
+            H=ny, nx=nx, omega=float(self.omega), omega_n=float(self.omega_n),
+            lb_G=float(self.lb_G), dtype=self.dtype, interpret=interpret,
+            **kw)
+        CH = kernel.chunk
+        q = self.lattice.q
+        P = q * 2
+        lat = self.lattice
+        velocity = self._velocity
+
+        def step(f):
+            # post-stream population density via periodic rolls (exact
+            # order match with the XLA step: velocity follows the move)
+            r = None
+            for j in range(q):
+                p = f[j, self.POP]
+                if lat.cy[j]:
+                    p = jnp.roll(p, lat.cy[j], axis=0)
+                if lat.cx[j]:
+                    p = jnp.roll(p, lat.cx[j], axis=1)
+                r = p if r is None else r + p
+            u, v = velocity(r)
+            ext = jnp.stack([u, v]).astype(self.dtype)
+            flat = f.reshape(P, ny, nx)
+            top = flat[:, ny - CH:, :]
+            bot = flat[:, :CH, :]
+            return kernel(flat, top, bot, ext).reshape(q, 2, ny, nx)
 
         return step
 
@@ -185,6 +245,8 @@ class SurfactantNutrientWave(LBModel):
 class ClumpySurfactantNutrientWave(SurfactantNutrientWave):
     """Adds Shan-Chen clumping to the population field
     (``surfactant_nutrient_waves.py:437-521``)."""
+
+    _clumpy = True
 
     def __init__(self, rho_o=1.0, G_chen=-1.0, **kwargs):
         self.rho_o = float(rho_o)

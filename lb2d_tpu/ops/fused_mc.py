@@ -187,64 +187,50 @@ def supports_mc_halo(H: int, nx: int, C_fluids: int, belt: int = 1,
     return pick_mc_tiling(H, nx, C_fluids, belt, has_ext) is not None
 
 
-def make_mc_halo_step(
+def _make_halo_kernel(
     *,
     H: int,
     nx: int,
-    cfg: MCKernelConfig,
+    C: int,
+    CH: int,
+    K: int,
+    belt: int,
+    n_ext: int,
+    phys,
     dtype=jnp.float32,
     interpret: bool = False,
-    chunk: int | None = None,
-    k_steps: int | None = None,
+    flops_per_cell: int = 600,
 ):
-    """Build ``step(f_loc, top_halo, bot_halo [, g_ext]) -> f_loc`` advancing
-    one y-shard of the multicomponent engine by ``k_steps`` LB steps.
+    """Generic 2K-stage chunk-pipelined halo kernel over ``q*C`` planes.
 
-    ``f_loc`` is ``[q*C, H, nx]`` (plane ``j*C + i`` = direction j of fluid
-    i); ``top_halo``/``bot_halo`` are one CH-row chunk each,
-    ``[q*C, CH, nx]`` (the y-neighbors' boundary rows at the
-    current time — the local wrap rows when unsharded); ``g_ext`` (iff
-    ``cfg.has_ext``) is ``[2*C, H, nx]`` (Gx planes then Gy), applied
-    identically at every internal step (callers force K=1 for step-varying
-    fields). The returned function has attributes ``chunk`` and ``k_steps``.
+    The machinery (VMEM rings, DMA schedule, stage skew, halo-chunk
+    processing — see the module docstring) is physics-agnostic; the
+    stage-1 callback supplies the model::
+
+        phys(fs, rho, rho_ext, ext) -> out
+
+    with ``fs[C][q]`` streamed chunk planes, ``rho[C]`` post-stream
+    densities, ``rho_ext[C]`` the (CH + 2*belt)-row density windows
+    (``None`` when ``belt == 0``), and ``ext`` a list of ``n_ext``
+    per-chunk external input planes; returns ``out[C][q]``.
+
+    Used by the multicomponent engine (:func:`make_mc_halo_step`) and the
+    surfactant / rocket-yeast kernels (:mod:`lb2d_tpu.ops.fused_coupled`).
     """
     lattice = D2Q9
     q = lattice.q
-    C = len(cfg.fluids)
-    belt = cfg.belt
-    tiling = pick_mc_tiling(H, nx, C, belt, cfg.has_ext, k_steps)
-    if chunk is not None or k_steps is not None:
-        CH = chunk if chunk is not None else (tiling[0] if tiling else None)
-        K = k_steps if k_steps is not None else (tiling[1] if tiling else 1)
-    elif tiling is not None:
-        CH, K = tiling
-    else:
-        CH = K = None
-    if CH is None or K is None or H % CH or K > max_mc_k(CH, belt):
-        raise ValueError(
-            f"no mc tiling for shard {H}x{nx}, C={C}, K={k_steps}")
-    assert belt + 2 <= CH, (belt, CH)
+    if H % CH or K > max_mc_k(CH, belt):
+        raise ValueError(f"invalid halo tiling {H}x{nx} CH={CH} K={K}")
+    assert belt + 2 <= CH or belt == 0, (belt, CH)
     Cb = H // CH      # body chunks
     V = Cb + 2        # virtual chunks incl. the two halo chunks
     P = q * C
     NE = 2 * K + 3    # ext ring depth: ext[c] is read by every P_s
-    zd = np.asarray(cfg.zero_density, dtype)
-    cs2 = lattice.cs2
-    cxs, cys, ws = lattice.cx, lattice.cy, lattice.w
-
-    # stencils: (weight, cx, cy) — first belt = D2Q9 moving vectors
-    # (multi.py:517-529); second belt = the explicit 25-vector set
-    # (single_component.py:533-646, via models.multicomponent).
-    def _stencil(b):
-        if b == 1:
-            return [(ws[j], cxs[j], cys[j]) for j in range(1, q)]
-        from ..models.multicomponent import SECOND_BELT_STENCIL
-        return [(w_, cx_, cy_) for w_, (cx_, cy_) in SECOND_BELT_STENCIL]
-
-    stencils = {b: _stencil(b) for b in {it[5] for it in cfg.interactions}}
+    has_ext = n_ext > 0
+    cxs, cys = lattice.cx, lattice.cy
 
     def kernel(*refs):
-        if cfg.has_ext:
+        if has_ext:
             f_hbm, top_hbm, bot_hbm, ext_hbm, out_hbm = refs[:5]
             rest = refs[5:]
         else:
@@ -257,7 +243,7 @@ def make_mc_halo_step(
         rho_rings = rest[idx:idx + K]; idx += K
         fo_rings = rest[idx:idx + K - 1]; idx += K - 1
         out_ring = rest[idx]; idx += 1
-        if cfg.has_ext:
+        if has_ext:
             ext_ring = rest[idx]; idx += 1
             sem_in, sem_ext, sem_out = rest[idx:]
         else:
@@ -280,7 +266,7 @@ def make_mc_halo_step(
                     f_hbm.at[:, pl.ds(
                         pl.multiple_of((c - 1) * CH, CH), CH), :],
                     in_ring.at[slot], sem_in.at[slot]).start()
-                if cfg.has_ext:
+                if has_ext:
                     pltpu.make_async_copy(
                         ext_hbm.at[:, pl.ds(
                             pl.multiple_of((c - 1) * CH, CH), CH), :],
@@ -295,7 +281,7 @@ def make_mc_halo_step(
             slot = c % _NIN
             pltpu.make_async_copy(
                 top_hbm, in_ring.at[slot], sem_in.at[slot]).wait()
-            if cfg.has_ext:
+            if has_ext:
                 @pl.when((c >= 1) & (c <= Cb))
                 def _():
                     pltpu.make_async_copy(
@@ -340,258 +326,29 @@ def make_mc_halo_step(
                 rho_rings[s][c % _NRHO, i, :, :] = rho
 
         def phys_stage(s, c):
-            """P_s: full post-stream physics for chunk c of step s.
-
-            VPU-heavy, so the math is factored: pair-shared momenta/quads
-            (Succi-style, cf. ``_moments_feq_collide``), quads shared
-            across fluids with equal porosity, and the first-belt
-            Shan-Chen stencil evaluated separably."""
-            has_forces = (cfg.has_ext or cfg.const_forces or cfg.const_g
-                          or cfg.interactions or cfg.porous)
+            """P_s: stage-1 physics callback for chunk c of step s, then
+            route the result to step s's ring or the HBM output."""
             fs_ring = fs_rings[s]
             rho_ring = rho_rings[s]
             fs = [[fs_ring[c % _NFS, j * C + i, :, :] for j in range(q)]
                   for i in range(C)]
             b = belt
-            rho, rho_ext = [], []
-            for i in range(C):
-                if b:
+            rho, rho_ext = [], None
+            if b:
+                rho_ext = []
+                for i in range(C):
                     rho_ext.append(jnp.concatenate([
                         rho_ring[(c - 1) % _NRHO, i, CH - b:CH, :],
                         rho_ring[c % _NRHO, i, :, :],
                         rho_ring[(c + 1) % _NRHO, i, 0:b, :]], axis=0))
                     rho.append(rho_ext[i][b:b + CH])
-                else:
-                    rho.append(rho_ring[c % _NRHO, i, :, :])
-
-            # hydro (update_hydro_pourous, single_component.cl:214-274),
-            # pair-factored momenta
-            jx, jy, u, v, good, safe = [], [], [], [], [], []
-            for i in range(C):
-                f_ = fs[i]
-                d57 = f_[5] - f_[7]
-                d68 = f_[6] - f_[8]
-                jxi = (f_[1] - f_[3]) + d57 - d68
-                jyi = (f_[2] - f_[4]) + d57 + d68
-                jx.append(jxi)
-                jy.append(jyi)
-                g = rho[i] > zd
-                sf = jnp.where(g, rho[i], 1.0)
-                good.append(g)
-                safe.append(sf)
-                if has_forces:
-                    inv = 1.0 / sf
-                    u.append(jnp.where(g, jxi * inv, 0.0))
-                    v.append(jnp.where(g, jyi * inv, 0.0))
-
-            # forces: ext fields, constants, gravity, Shan-Chen
-            if has_forces:
-                Gx = [None] * C
-                Gy = [None] * C
-
-                def _acc(G, i, val):
-                    G[i] = val if G[i] is None else G[i] + val
-
-                if cfg.has_ext:
-                    for i in range(C):
-                        _acc(Gx, i, ext_ring[c % NE, i, :, :])
-                        _acc(Gy, i, ext_ring[c % NE, C + i, :, :])
-                for i, fx_, fy_ in cfg.const_forces:
-                    _acc(Gx, i, jnp.full_like(rho[i],
-                                              np.asarray(fx_, dtype)))
-                    _acc(Gy, i, jnp.full_like(rho[i],
-                                              np.asarray(fy_, dtype)))
-                for i, gx_, gy_ in cfg.const_g:
-                    _acc(Gx, i, np.asarray(gx_, dtype) * rho[i])
-                    _acc(Gy, i, np.asarray(gy_, dtype) * rho[i])
-
-                for (i1, i2, G_int, spec, params, bl) in cfg.interactions:
-                    psi1e, psi2e = _psi_pair(spec, rho_ext[i1], rho_ext[i2],
-                                             params, cfg.zero_density)
-                    psi1c = psi1e[b:b + CH]
-                    psi2c = psi2e[b:b + CH]
-                    if bl == 1:
-                        # separable first belt: w = outer([1/6,2/3,1/6]) of
-                        # the D2Q9 moving set (1/9 axis, 1/36 diagonal)
-                        def belt_force(pe):
-                            up = pe[b - 1:b - 1 + CH]
-                            dn = pe[b + 1:b + 1 + CH]
-                            ctr = pe[b:b + CH]
-                            Sy = ((2.0 / 3.0) * ctr
-                                  + (1.0 / 6.0) * (up + dn))
-                            fx = (1.0 / 6.0) * (_lane_roll(Sy, -1, nx)
-                                                - _lane_roll(Sy, 1, nx))
-                            # dy-weighted difference of x-convolved rows
-                            # (the dy=0 row has weight 0)
-                            Sxu = ((2.0 / 3.0) * up
-                                   + (1.0 / 6.0) * (
-                                       _lane_roll(up, -1, nx)
-                                       + _lane_roll(up, 1, nx)))
-                            Sxd = ((2.0 / 3.0) * dn
-                                   + (1.0 / 6.0) * (
-                                       _lane_roll(dn, -1, nx)
-                                       + _lane_roll(dn, 1, nx)))
-                            fy = (1.0 / 6.0) * (Sxd - Sxu)
-                            return fx, fy
-
-                        fx1, fy1 = belt_force(psi2e)
-                        fx2, fy2 = belt_force(psi1e)
-                    else:
-                        fx1 = jnp.zeros_like(psi1c)
-                        fy1 = jnp.zeros_like(psi1c)
-                        fx2 = jnp.zeros_like(psi1c)
-                        fy2 = jnp.zeros_like(psi1c)
-                        for wgt, cx_, cy_ in stencils[bl]:
-                            # psi(x + c): ext-row slice + lane roll
-                            n2 = _lane_roll(psi2e[b + cy_:b + cy_ + CH],
-                                            -cx_, nx)
-                            n1 = _lane_roll(psi1e[b + cy_:b + cy_ + CH],
-                                            -cx_, nx)
-                            if cx_:
-                                fx1 = fx1 + (wgt * cx_) * n2
-                                fx2 = fx2 + (wgt * cx_) * n1
-                            if cy_:
-                                fy1 = fy1 + (wgt * cy_) * n2
-                                fy2 = fy2 + (wgt * cy_) * n1
-                    # force -> force per density, zero-density guarded
-                    # (single_component.cl:779-792)
-                    s1 = jnp.where(good[i1],
-                                   (-G_int) * psi1c / safe[i1], 0.0)
-                    s2 = jnp.where(good[i2],
-                                   (-G_int) * psi2c / safe[i2], 0.0)
-                    _acc(Gx, i1, s1 * fx1)
-                    _acc(Gy, i1, s1 * fy1)
-                    _acc(Gx, i2, s2 * fx2)
-                    _acc(Gy, i2, s2 * fy2)
-
-                for i in range(C):
-                    if Gx[i] is None:
-                        Gx[i] = jnp.zeros_like(rho[i])
-                    if Gy[i] is None:
-                        Gy[i] = jnp.zeros_like(rho[i])
-
-                if cfg.porous:
-                    # Darcy + Forchheimer drag, applied last
-                    # (update_forces_pourous, single_component.cl:276-335)
-                    for i, fl in enumerate(cfg.fluids):
-                        eps, nuf, Kp, Fe = (fl.epsilon, fl.nu_fluid, fl.K,
-                                            fl.Fe)
-                        gx = Gx[i] * eps - (eps * nuf / Kp) * u[i]
-                        gy = Gy[i] * eps - (eps * nuf / Kp) * v[i]
-                        vel = jnp.sqrt(u[i] * u[i] + v[i] * v[i])
-                        gx = gx - (eps * Fe / np.sqrt(Kp)) * vel * u[i]
-                        gy = gy - (eps * Fe / np.sqrt(Kp)) * vel * v[i]
-                        Gx[i] = jnp.where(good[i], gx, 0.0)
-                        Gy[i] = jnp.where(good[i], gy, 0.0)
-
-            # barycentric velocity (single_component.cl:161-212)
-            rho_tot = rho[0]
-            if has_forces:
-                sx = jx[0] + 0.5 * rho[0] * Gx[0]
-                sy = jy[0] + 0.5 * rho[0] * Gy[0]
             else:
-                sx, sy = jx[0], jy[0]
-            for i in range(1, C):
-                rho_tot = rho_tot + rho[i]
-                if has_forces:
-                    sx = sx + jx[i] + 0.5 * rho[i] * Gx[i]
-                    sy = sy + jy[i] + 0.5 * rho[i] * Gy[i]
-                else:
-                    sx = sx + jx[i]
-                    sy = sy + jy[i]
-            inv_rt = 1.0 / rho_tot
-            ub = sx * inv_rt
-            vb = sy * inv_rt
+                for i in range(C):
+                    rho.append(rho_ring[c % _NRHO, i, :, :])
+            ext = ([ext_ring[c % NE, e, :, :] for e in range(n_ext)]
+                   if has_ext else None)
 
-            # feq + Guo + BGK, pair-factored; quads shared across fluids
-            # with equal porosity (feq: single_component.cl:39-60; Guo:
-            # :104-113 / multi.cl:115-126)
-            upv = ub + vb
-            umv = ub - vb
-            usq = ub * ub + vb * vb
-            inv_cs2 = 1.0 / cs2
-            quad_cache = {}
-
-            def quads(eps):
-                """quad_j for all 9 directions at porosity eps."""
-                if eps in quad_cache:
-                    return quad_cache[eps]
-                se = usq * (0.5 / (cs2 * eps))
-                half_cs4e = 0.5 / (cs2 * cs2 * eps)
-
-                def qpair(a):
-                    t1 = a * inv_cs2
-                    r = a * a * half_cs4e - se
-                    return r + t1, r - t1
-
-                q1, q3 = qpair(ub)
-                q2, q4 = qpair(vb)
-                q5, q7 = qpair(upv)
-                q8, q6 = qpair(umv)
-                res = [-se, q1, q2, q3, q4, q5, q6, q7, q8]
-                quad_cache[eps] = res
-                return res
-
-            out = [[None] * q for _ in range(C)]
-            for i, fl in enumerate(cfg.fluids):
-                om, eps = fl.omega, fl.epsilon
-                A = 1.0 - om
-                qd = quads(eps)
-                # feq_j = w_j rho (1 + quad_j): share om*w*rho per w-class
-                wr = {}
-
-                def _wr(wj):
-                    if wj not in wr:
-                        wr[wj] = (om * wj) * rho[i]
-                    return wr[wj]
-
-                if has_forces:
-                    # Guo: F_j = w_j pref [rho] (3 cF_j + (9/eps) cF_j cu_j
-                    #                            - (3/eps) u.F); cu/cF pairs
-                    # share the product term
-                    pref = 1.0 - 0.5 * om
-                    e = eps if cfg.porous else 1.0
-                    Gxi, Gyi = Gx[i], Gy[i]
-                    uF3e = (Gxi * ub + Gyi * vb) * (3.0 / e)
-                    cu = [None, ub, vb, None, None, upv, None, None, umv]
-                    cF = [None, Gxi, Gyi, None, None, Gxi + Gyi, None,
-                          None, Gxi - Gyi]
-                    base = rho[i] * pref if cfg.porous else pref
-
-                    def guo_pair(j):
-                        nj = cF[j] * cu[j] * (9.0 / e) - uF3e
-                        t = 3.0 * cF[j]
-                        return nj + t, nj - t
-
-                    g1, g3 = guo_pair(1)
-                    g2, g4 = guo_pair(2)
-                    g5, g7 = guo_pair(5)
-                    g8, g6 = guo_pair(8)
-                    gs = [-uF3e, g1, g2, g3, g4, g5, g6, g7, g8]
-                    for j in range(q):
-                        base_j = _wr(ws[j])
-                        out[i][j] = (fs[i][j] * A + base_j
-                                     + base_j * qd[j]
-                                     + (ws[j] * base) * gs[j])
-                else:
-                    for j in range(q):
-                        base_j = _wr(ws[j])
-                        out[i][j] = fs[i][j] * A + base_j + base_j * qd[j]
-
-            # additional collisions (eating / growth), on post-stream rho
-            for coll in cfg.collisions:
-                if coll[0] == "eating":
-                    _, ei, ej, rate = coll
-                    growth = np.asarray(rate, dtype) * rho[ei] * rho[ej]
-                    for j in range(q):
-                        out[ei][j] = out[ei][j] + ws[j] * growth
-                        out[ej][j] = out[ej][j] - ws[j] * growth
-                else:
-                    _, gi, lo, hi, rate = coll
-                    grow = jnp.where((rho[gi] > lo) & (rho[gi] < hi),
-                                     np.asarray(rate, dtype), 0.0)
-                    for j in range(q):
-                        out[gi][j] = out[gi][j] + ws[j] * grow
+            out = phys(fs, rho, rho_ext, ext)
 
             if s < K - 1:
                 for i in range(C):
@@ -648,14 +405,14 @@ def make_mc_halo_step(
     scratch += [pltpu.VMEM((_NRHO, C, CH, nx), dtype) for _ in range(K)]
     scratch += [pltpu.VMEM((_NFO, P, CH, nx), dtype) for _ in range(K - 1)]
     scratch += [pltpu.VMEM((_NOUT, P, CH, nx), dtype)]
-    if cfg.has_ext:
-        scratch.append(pltpu.VMEM((NE, 2 * C, CH, nx), dtype))
+    if has_ext:
+        scratch.append(pltpu.VMEM((NE, n_ext, CH, nx), dtype))
     scratch.append(pltpu.SemaphoreType.DMA((_NIN,)))
-    if cfg.has_ext:
+    if has_ext:
         scratch.append(pltpu.SemaphoreType.DMA((NE,)))
     scratch.append(pltpu.SemaphoreType.DMA((_NOUT,)))
 
-    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * (4 if cfg.has_ext else 3)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * (4 if has_ext else 3)
 
     call = pl.pallas_call(
         kernel,
@@ -668,14 +425,13 @@ def make_mc_halo_step(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=K * (300 * C + 40 * len(cfg.interactions) * 8) * H * nx,
-            bytes_accessed=(2 * P + (2 * C if cfg.has_ext else 0))
-            * H * nx * 4,
+            flops=K * flops_per_cell * H * nx,
+            bytes_accessed=(2 * P + n_ext) * H * nx * 4,
             transcendentals=0,
         ),
     )
 
-    if cfg.has_ext:
+    if has_ext:
         def step(f_loc, top_halo, bot_halo, g_ext):
             return call(f_loc, top_halo, bot_halo, g_ext)
     else:
@@ -685,3 +441,296 @@ def make_mc_halo_step(
     step.chunk = CH
     step.k_steps = K
     return step
+
+
+def separable_belt_force(pe, b, CH, nx):
+    """``(sum_c w_c c_x psi(x+c), sum_c w_c c_y psi(x+c))`` over the D2Q9
+    moving belt, evaluated separably: the belt weights are
+    ``outer([1/6, 2/3, 1/6])`` (1/9 axis, 1/36 diagonal). ``pe`` is a
+    ``(CH + 2b)``-row window; returns CH-row force components. Replaces 12
+    lane-rolls + 16 MACs with 6 rolls + ~10 ops."""
+    up = pe[b - 1:b - 1 + CH]
+    dn = pe[b + 1:b + 1 + CH]
+    ctr = pe[b:b + CH]
+    Sy = (2.0 / 3.0) * ctr + (1.0 / 6.0) * (up + dn)
+    fx = (1.0 / 6.0) * (_lane_roll(Sy, -1, nx) - _lane_roll(Sy, 1, nx))
+    # dy-weighted difference of x-convolved rows (the dy=0 row has weight 0)
+    Sxu = ((2.0 / 3.0) * up
+           + (1.0 / 6.0) * (_lane_roll(up, -1, nx) + _lane_roll(up, 1, nx)))
+    Sxd = ((2.0 / 3.0) * dn
+           + (1.0 / 6.0) * (_lane_roll(dn, -1, nx) + _lane_roll(dn, 1, nx)))
+    fy = (1.0 / 6.0) * (Sxd - Sxu)
+    return fx, fy
+
+
+def make_mc_halo_step(
+    *,
+    H: int,
+    nx: int,
+    cfg: MCKernelConfig,
+    dtype=jnp.float32,
+    interpret: bool = False,
+    chunk: int | None = None,
+    k_steps: int | None = None,
+):
+    """Build ``step(f_loc, top_halo, bot_halo [, g_ext]) -> f_loc`` advancing
+    one y-shard of the multicomponent engine by ``k_steps`` LB steps.
+
+    ``f_loc`` is ``[q*C, H, nx]`` (plane ``j*C + i`` = direction j of fluid
+    i); ``top_halo``/``bot_halo`` are one CH-row chunk each,
+    ``[q*C, CH, nx]`` (the y-neighbors' boundary rows at the
+    current time — the local wrap rows when unsharded); ``g_ext`` (iff
+    ``cfg.has_ext``) is ``[2*C, H, nx]`` (Gx planes then Gy), applied
+    identically at every internal step (callers force K=1 for step-varying
+    fields). The returned function has attributes ``chunk`` and ``k_steps``.
+    """
+    lattice = D2Q9
+    q = lattice.q
+    C = len(cfg.fluids)
+    belt = cfg.belt
+    tiling = pick_mc_tiling(H, nx, C, belt, cfg.has_ext, k_steps)
+    if chunk is not None or k_steps is not None:
+        CH = chunk if chunk is not None else (tiling[0] if tiling else None)
+        K = k_steps if k_steps is not None else (tiling[1] if tiling else 1)
+    elif tiling is not None:
+        CH, K = tiling
+    else:
+        CH = K = None
+    if CH is None or K is None:
+        raise ValueError(
+            f"no mc tiling for shard {H}x{nx}, C={C}, K={k_steps}")
+    cs2 = lattice.cs2
+    cxs, cys, ws = lattice.cx, lattice.cy, lattice.w
+    zd = np.asarray(cfg.zero_density, dtype)
+
+    # stencils: (weight, cx, cy) — first belt = D2Q9 moving vectors
+    # (multi.py:517-529); second belt = the explicit 25-vector set
+    # (single_component.py:533-646, via models.multicomponent).
+    def _stencil(b):
+        if b == 1:
+            return [(ws[j], cxs[j], cys[j]) for j in range(1, q)]
+        from ..models.multicomponent import SECOND_BELT_STENCIL
+        return [(w_, cx_, cy_) for w_, (cx_, cy_) in SECOND_BELT_STENCIL]
+
+    stencils = {b: _stencil(b) for b in {it[5] for it in cfg.interactions}}
+    b = belt
+
+    def phys(fs, rho, rho_ext, ext):
+        """Multicomponent stage-1 physics (see the module docstring for the
+        citations): hydro, Shan-Chen forces, porous drag, barycentric
+        velocity, porosity feq + Guo + BGK, eating/growth hooks.
+
+        VPU-heavy, so the math is factored: pair-shared momenta/quads
+        (Succi-style, cf. ``_moments_feq_collide``), quads shared across
+        fluids with equal porosity, and the first-belt Shan-Chen stencil
+        evaluated separably."""
+        has_forces = (cfg.has_ext or cfg.const_forces or cfg.const_g
+                      or cfg.interactions or cfg.porous)
+
+        # hydro (update_hydro_pourous, single_component.cl:214-274),
+        # pair-factored momenta
+        jx, jy, u, v, good, safe = [], [], [], [], [], []
+        for i in range(C):
+            f_ = fs[i]
+            d57 = f_[5] - f_[7]
+            d68 = f_[6] - f_[8]
+            jxi = (f_[1] - f_[3]) + d57 - d68
+            jyi = (f_[2] - f_[4]) + d57 + d68
+            jx.append(jxi)
+            jy.append(jyi)
+            g = rho[i] > zd
+            sf = jnp.where(g, rho[i], 1.0)
+            good.append(g)
+            safe.append(sf)
+            if has_forces:
+                inv = 1.0 / sf
+                u.append(jnp.where(g, jxi * inv, 0.0))
+                v.append(jnp.where(g, jyi * inv, 0.0))
+
+        # forces: ext fields, constants, gravity, Shan-Chen
+        if has_forces:
+            Gx = [None] * C
+            Gy = [None] * C
+
+            def _acc(G, i, val):
+                G[i] = val if G[i] is None else G[i] + val
+
+            if cfg.has_ext:
+                for i in range(C):
+                    _acc(Gx, i, ext[i])
+                    _acc(Gy, i, ext[C + i])
+            for i, fx_, fy_ in cfg.const_forces:
+                _acc(Gx, i, jnp.full_like(rho[i], np.asarray(fx_, dtype)))
+                _acc(Gy, i, jnp.full_like(rho[i], np.asarray(fy_, dtype)))
+            for i, gx_, gy_ in cfg.const_g:
+                _acc(Gx, i, np.asarray(gx_, dtype) * rho[i])
+                _acc(Gy, i, np.asarray(gy_, dtype) * rho[i])
+
+            for (i1, i2, G_int, spec, params, bl) in cfg.interactions:
+                psi1e, psi2e = _psi_pair(spec, rho_ext[i1], rho_ext[i2],
+                                         params, cfg.zero_density)
+                psi1c = psi1e[b:b + CH]
+                psi2c = psi2e[b:b + CH]
+                if bl == 1:
+                    fx1, fy1 = separable_belt_force(psi2e, b, CH, nx)
+                    fx2, fy2 = separable_belt_force(psi1e, b, CH, nx)
+                else:
+                    fx1 = jnp.zeros_like(psi1c)
+                    fy1 = jnp.zeros_like(psi1c)
+                    fx2 = jnp.zeros_like(psi1c)
+                    fy2 = jnp.zeros_like(psi1c)
+                    for wgt, cx_, cy_ in stencils[bl]:
+                        # psi(x + c): ext-row slice + lane roll
+                        n2 = _lane_roll(psi2e[b + cy_:b + cy_ + CH],
+                                        -cx_, nx)
+                        n1 = _lane_roll(psi1e[b + cy_:b + cy_ + CH],
+                                        -cx_, nx)
+                        if cx_:
+                            fx1 = fx1 + (wgt * cx_) * n2
+                            fx2 = fx2 + (wgt * cx_) * n1
+                        if cy_:
+                            fy1 = fy1 + (wgt * cy_) * n2
+                            fy2 = fy2 + (wgt * cy_) * n1
+                # force -> force per density, zero-density guarded
+                # (single_component.cl:779-792)
+                s1 = jnp.where(good[i1], (-G_int) * psi1c / safe[i1], 0.0)
+                s2 = jnp.where(good[i2], (-G_int) * psi2c / safe[i2], 0.0)
+                _acc(Gx, i1, s1 * fx1)
+                _acc(Gy, i1, s1 * fy1)
+                _acc(Gx, i2, s2 * fx2)
+                _acc(Gy, i2, s2 * fy2)
+
+            for i in range(C):
+                if Gx[i] is None:
+                    Gx[i] = jnp.zeros_like(rho[i])
+                if Gy[i] is None:
+                    Gy[i] = jnp.zeros_like(rho[i])
+
+            if cfg.porous:
+                # Darcy + Forchheimer drag, applied last
+                # (update_forces_pourous, single_component.cl:276-335)
+                for i, fl in enumerate(cfg.fluids):
+                    eps, nuf, Kp, Fe = (fl.epsilon, fl.nu_fluid, fl.K,
+                                        fl.Fe)
+                    gx = Gx[i] * eps - (eps * nuf / Kp) * u[i]
+                    gy = Gy[i] * eps - (eps * nuf / Kp) * v[i]
+                    vel = jnp.sqrt(u[i] * u[i] + v[i] * v[i])
+                    gx = gx - (eps * Fe / np.sqrt(Kp)) * vel * u[i]
+                    gy = gy - (eps * Fe / np.sqrt(Kp)) * vel * v[i]
+                    Gx[i] = jnp.where(good[i], gx, 0.0)
+                    Gy[i] = jnp.where(good[i], gy, 0.0)
+
+        # barycentric velocity (single_component.cl:161-212)
+        rho_tot = rho[0]
+        if has_forces:
+            sx = jx[0] + 0.5 * rho[0] * Gx[0]
+            sy = jy[0] + 0.5 * rho[0] * Gy[0]
+        else:
+            sx, sy = jx[0], jy[0]
+        for i in range(1, C):
+            rho_tot = rho_tot + rho[i]
+            if has_forces:
+                sx = sx + jx[i] + 0.5 * rho[i] * Gx[i]
+                sy = sy + jy[i] + 0.5 * rho[i] * Gy[i]
+            else:
+                sx = sx + jx[i]
+                sy = sy + jy[i]
+        inv_rt = 1.0 / rho_tot
+        ub = sx * inv_rt
+        vb = sy * inv_rt
+
+        # feq + Guo + BGK, pair-factored; quads shared across fluids
+        # with equal porosity (feq: single_component.cl:39-60; Guo:
+        # :104-113 / multi.cl:115-126)
+        upv = ub + vb
+        umv = ub - vb
+        usq = ub * ub + vb * vb
+        inv_cs2 = 1.0 / cs2
+        quad_cache = {}
+
+        def quads(eps):
+            """quad_j for all 9 directions at porosity eps."""
+            if eps in quad_cache:
+                return quad_cache[eps]
+            se = usq * (0.5 / (cs2 * eps))
+            half_cs4e = 0.5 / (cs2 * cs2 * eps)
+
+            def qpair(a):
+                t1 = a * inv_cs2
+                r = a * a * half_cs4e - se
+                return r + t1, r - t1
+
+            q1, q3 = qpair(ub)
+            q2, q4 = qpair(vb)
+            q5, q7 = qpair(upv)
+            q8, q6 = qpair(umv)
+            res = [-se, q1, q2, q3, q4, q5, q6, q7, q8]
+            quad_cache[eps] = res
+            return res
+
+        out = [[None] * q for _ in range(C)]
+        for i, fl in enumerate(cfg.fluids):
+            om, eps = fl.omega, fl.epsilon
+            A = 1.0 - om
+            qd = quads(eps)
+            # feq_j = w_j rho (1 + quad_j): share om*w*rho per w-class
+            wr = {}
+
+            def _wr(wj):
+                if wj not in wr:
+                    wr[wj] = (om * wj) * rho[i]
+                return wr[wj]
+
+            if has_forces:
+                # Guo: F_j = w_j pref [rho] (3 cF_j + (9/eps) cF_j cu_j
+                #                            - (3/eps) u.F); cu/cF pairs
+                # share the product term
+                pref = 1.0 - 0.5 * om
+                e = eps if cfg.porous else 1.0
+                Gxi, Gyi = Gx[i], Gy[i]
+                uF3e = (Gxi * ub + Gyi * vb) * (3.0 / e)
+                cu = [None, ub, vb, None, None, upv, None, None, umv]
+                cF = [None, Gxi, Gyi, None, None, Gxi + Gyi, None,
+                      None, Gxi - Gyi]
+                base = rho[i] * pref if cfg.porous else pref
+
+                def guo_pair(j):
+                    nj = cF[j] * cu[j] * (9.0 / e) - uF3e
+                    t = 3.0 * cF[j]
+                    return nj + t, nj - t
+
+                g1, g3 = guo_pair(1)
+                g2, g4 = guo_pair(2)
+                g5, g7 = guo_pair(5)
+                g8, g6 = guo_pair(8)
+                gs = [-uF3e, g1, g2, g3, g4, g5, g6, g7, g8]
+                for j in range(q):
+                    base_j = _wr(ws[j])
+                    out[i][j] = (fs[i][j] * A + base_j + base_j * qd[j]
+                                 + (ws[j] * base) * gs[j])
+            else:
+                for j in range(q):
+                    base_j = _wr(ws[j])
+                    out[i][j] = fs[i][j] * A + base_j + base_j * qd[j]
+
+        # additional collisions (eating / growth), on post-stream rho
+        for coll in cfg.collisions:
+            if coll[0] == "eating":
+                _, ei, ej, rate = coll
+                growth = np.asarray(rate, dtype) * rho[ei] * rho[ej]
+                for j in range(q):
+                    out[ei][j] = out[ei][j] + ws[j] * growth
+                    out[ej][j] = out[ej][j] - ws[j] * growth
+            else:
+                _, gi, lo, hi, rate = coll
+                grow = jnp.where((rho[gi] > lo) & (rho[gi] < hi),
+                                 np.asarray(rate, dtype), 0.0)
+                for j in range(q):
+                    out[gi][j] = out[gi][j] + ws[j] * grow
+        return out
+
+    return _make_halo_kernel(
+        H=H, nx=nx, C=C, CH=CH, K=K, belt=belt,
+        n_ext=2 * C if cfg.has_ext else 0, phys=phys, dtype=dtype,
+        interpret=interpret,
+        flops_per_cell=300 * C + 40 * len(cfg.interactions) * 8)
