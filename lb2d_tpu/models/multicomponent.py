@@ -510,7 +510,7 @@ class SimulationRunner:
         unsupported hook)."""
         from ..ops.fused_mc import FluidParams, MCKernelConfig
 
-        if self.lattice is not D2Q9 or self.dtype != jnp.float32:
+        if self.lattice.q not in (9, 25) or self.dtype != jnp.float32:
             return None
         if any(fl.bc != "periodic" for fl in self.fluid_list):
             return None
@@ -584,11 +584,14 @@ class SimulationRunner:
         H = ny // my
         if dyn:
             k_steps = 1
-        if not supports_mc_halo(H, nx, C, cfg.belt, cfg.has_ext):
+        reach = int(max(max(abs(c) for c in self.lattice.cy), 1))
+        if not supports_mc_halo(H, nx, C, cfg.belt, cfg.has_ext,
+                                q=q, reach=reach):
             return None
         interpret = jax.default_backend() != "tpu"
         kernel = make_mc_halo_step(H=H, nx=nx, cfg=cfg, dtype=self.dtype,
-                                   interpret=interpret, k_steps=k_steps)
+                                   interpret=interpret, k_steps=k_steps,
+                                   lattice=self.lattice)
         CH = kernel.chunk
         self.steps_per_call = kernel.k_steps
         dt = self.dtype

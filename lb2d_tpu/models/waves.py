@@ -174,25 +174,35 @@ class _ScreenedVelocity:
     reference's x-axis = our lane axis)."""
 
     def __init__(self, ny, nx, lam, delta_x, vc, ulb, method="auto"):
+        # keep only 1-D frequency vectors as constants; the 2-D rescale /
+        # gradient-multiplier fields are built in-graph per call (at 8192^2
+        # each would be a 268 MB baked-in executable constant otherwise)
         fx, fy = _freqs(ny, nx, delta_x)
-        KX = np.broadcast_to(fx[None, :], (ny, nx)).astype(np.float32)
-        KY = np.broadcast_to(fy[:, None], (ny, nx)).astype(np.float32)
-        self.rescale = jnp.asarray(1.0 / (lam**2 * (KX**2 + KY**2) + 1.0))
-        self.ax = jnp.asarray(2.0 * np.pi * KX)
-        self.ay = jnp.asarray(2.0 * np.pi * KY)
+        self._fx = jnp.asarray(fx.astype(np.float32))
+        self._fy = jnp.asarray(fy.astype(np.float32))
+        self._lam2 = np.float32(lam * lam)
         self.scale = np.float32(-vc * ulb)
         self.method = spectral_method(method)
 
+    def _fields(self):
+        KX = self._fx[None, :]
+        KY = self._fy[:, None]
+        rescale = 1.0 / (self._lam2 * (KX * KX + KY * KY) + 1.0)
+        ax = (2.0 * np.pi) * KX
+        ay = (2.0 * np.pi) * KY
+        return rescale, ax, ay
+
     def __call__(self, rho):
+        rescale, ax, ay = self._fields()
         if self.method == "fft":
-            chat = jnp.fft.fft2(rho.astype(jnp.complex64)) * self.rescale
-            xg = jnp.real(jnp.fft.ifft2(chat * (1j * self.ax)))
-            yg = jnp.real(jnp.fft.ifft2(chat * (1j * self.ay)))
+            chat = jnp.fft.fft2(rho.astype(jnp.complex64)) * rescale
+            xg = jnp.real(jnp.fft.ifft2(chat * (1j * ax)))
+            yg = jnp.real(jnp.fft.ifft2(chat * (1j * ay)))
         else:
             cr, ci = fft2_mm(rho)
-            cr, ci = cr * self.rescale, ci * self.rescale
-            xg, _ = ifft2_mm(-self.ax * ci, self.ax * cr)
-            yg, _ = ifft2_mm(-self.ay * ci, self.ay * cr)
+            cr, ci = cr * rescale, ci * rescale
+            xg, _ = ifft2_mm(-ax * ci, ax * cr)
+            yg, _ = ifft2_mm(-ay * ci, ay * cr)
         return self.scale * xg, self.scale * yg
 
 

@@ -13,32 +13,33 @@ v5e, and the spectral models call it once per step at much smaller grids.
 
 from __future__ import annotations
 
-from functools import lru_cache
-
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["dft_mats", "fft2_mm", "ifft2_mm"]
 
 
-@lru_cache(maxsize=32)
-def _dft_host(n: int, inverse: bool):
-    k = np.arange(n)
-    ang = 2.0 * np.pi * np.outer(k, k) / n
-    sign = 1.0 if inverse else -1.0
-    c = np.cos(ang).astype(np.float32)
-    s = (sign * np.sin(ang)).astype(np.float32)
-    if inverse:
-        c /= n
-        s /= n
-    return c, s
-
-
 def dft_mats(n: int, inverse: bool = False):
     """(cos, sin) parts of the DFT matrix ``exp(sign * 2 pi i k n / N)``;
-    the inverse includes the 1/N normalization (numpy convention)."""
-    c, s = _dft_host(n, inverse)
-    return jnp.asarray(c), jnp.asarray(s)
+    the inverse includes the 1/N normalization (numpy convention).
+
+    Built IN-GRAPH, not as host constants: at 8192^2 each matrix is 268 MB
+    and closure-captured constants get baked into the executable (host
+    round-trip at lowering + RESOURCE_EXHAUSTED). The phase is computed as
+    ``2 pi ((k k') mod n) / n`` with an exact int32 product (k k' < 2^31
+    for n <= 2^15) — a plain fp32 ``outer(k, k)`` would lose the phase
+    entirely at large n (|ang| up to ~5e4 radians)."""
+    k = jax.lax.iota(jnp.int32, n)
+    ij = k[:, None] * k[None, :]
+    ang = (2.0 * np.pi / n) * (ij % n).astype(jnp.float32)
+    sign = 1.0 if inverse else -1.0
+    c = jnp.cos(ang)
+    s = sign * jnp.sin(ang)
+    if inverse:
+        c = c / n
+        s = s / n
+    return c, s
 
 
 def _cmatmul(ar, ai, br, bi):

@@ -145,16 +145,17 @@ def _psi_pair(spec, r1, r2, params, zd):
     raise ValueError(f"unknown PSI specifier {spec}")
 
 
-def max_mc_k(CH: int, belt: int) -> int:
+def max_mc_k(CH: int, belt: int, reach: int = 1) -> int:
     """Largest temporal depth the one-chunk halo supports: corruption of a
-    halo chunk's outer rows grows by ``1 + belt`` per LB step, and the
-    first/last body chunk reads ``belt`` density rows into the halo chunk
-    at every step: ``(K - 1)(1 + belt) <= CH - belt - 1``."""
-    return max(1, (CH - belt - 1) // (1 + belt) + 1)
+    halo chunk's outer rows grows by ``reach + belt`` per LB step (reach =
+    the lattice's max |c_y|, 1 for D2Q9 / 2 for D2Q25), and the first/last
+    body chunk reads ``belt`` density rows into the halo chunk at every
+    step: ``(K - 1)(reach + belt) <= CH - belt - reach``."""
+    return max(1, (CH - belt - reach) // (reach + belt) + 1)
 
 
-def _ring_bytes(CH, nx, C, K, has_ext):
-    P = 9 * C
+def _ring_bytes(CH, nx, C, K, has_ext, q=9):
+    P = q * C
     plane = CH * nx * 4
     planes = (_NIN * P + K * (_NFS * P + _NRHO * C)
               + (K - 1) * _NFO * P + _NOUT * P)
@@ -165,7 +166,8 @@ def _ring_bytes(CH, nx, C, K, has_ext):
 
 def pick_mc_tiling(H: int, nx: int, C_fluids: int, belt: int = 1,
                    has_ext: bool = False,
-                   k_steps: int | None = None) -> tuple[int, int] | None:
+                   k_steps: int | None = None,
+                   q: int = 9, reach: int = 1) -> tuple[int, int] | None:
     """Pick ``(CH, K)``: deepest temporal block first (ring traffic divides
     by K), largest chunk second; 8-row DMA alignment, >= 3 body chunks,
     VMEM within budget, halo-validity cap :func:`max_mc_k`."""
@@ -175,16 +177,18 @@ def pick_mc_tiling(H: int, nx: int, C_fluids: int, belt: int = 1,
         for ch in (16, 8):
             if H % ch or H // ch < 3:
                 continue
-            if k > max_mc_k(ch, belt):
+            if k > max_mc_k(ch, belt, reach):
                 continue
-            if _ring_bytes(ch, nx, C_fluids, k, has_ext) <= _VMEM_BUDGET:
+            if _ring_bytes(ch, nx, C_fluids, k, has_ext, q) <= _VMEM_BUDGET:
                 return ch, k
     return None
 
 
 def supports_mc_halo(H: int, nx: int, C_fluids: int, belt: int = 1,
-                     has_ext: bool = False) -> bool:
-    return pick_mc_tiling(H, nx, C_fluids, belt, has_ext) is not None
+                     has_ext: bool = False, q: int = 9,
+                     reach: int = 1) -> bool:
+    return pick_mc_tiling(H, nx, C_fluids, belt, has_ext,
+                          q=q, reach=reach) is not None
 
 
 def _make_halo_kernel(
@@ -200,6 +204,7 @@ def _make_halo_kernel(
     dtype=jnp.float32,
     interpret: bool = False,
     flops_per_cell: int = 600,
+    lattice=D2Q9,
 ):
     """Generic 2K-stage chunk-pipelined halo kernel over ``q*C`` planes.
 
@@ -217,9 +222,9 @@ def _make_halo_kernel(
     Used by the multicomponent engine (:func:`make_mc_halo_step`) and the
     surfactant / rocket-yeast kernels (:mod:`lb2d_tpu.ops.fused_coupled`).
     """
-    lattice = D2Q9
     q = lattice.q
-    if H % CH or K > max_mc_k(CH, belt):
+    reach = int(max(max(abs(c) for c in lattice.cy), 1))
+    if H % CH or K > max_mc_k(CH, belt, reach):
         raise ValueError(f"invalid halo tiling {H}x{nx} CH={CH} K={K}")
     assert belt + 2 <= CH or belt == 0, (belt, CH)
     Cb = H // CH      # body chunks
@@ -310,14 +315,14 @@ def _make_halo_kernel(
                 for j in range(q):
                     pi = j * C + i
                     cxj, cyj = cxs[j], cys[j]
-                    if cyj == 1:
+                    if cyj > 0:
                         rows = jnp.concatenate(
-                            [ring[prev, pi, CH - 1:CH, :],
-                             ring[cur, pi, 0:CH - 1, :]], axis=0)
-                    elif cyj == -1:
+                            [ring[prev, pi, CH - cyj:CH, :],
+                             ring[cur, pi, 0:CH - cyj, :]], axis=0)
+                    elif cyj < 0:
                         rows = jnp.concatenate(
-                            [ring[cur, pi, 1:CH, :],
-                             ring[nxt, pi, 0:1, :]], axis=0)
+                            [ring[cur, pi, -cyj:CH, :],
+                             ring[nxt, pi, 0:-cyj, :]], axis=0)
                     else:
                         rows = ring[cur, pi, :, :]
                     sj = _lane_roll(rows, cxj, nx)
@@ -472,6 +477,7 @@ def make_mc_halo_step(
     interpret: bool = False,
     chunk: int | None = None,
     k_steps: int | None = None,
+    lattice=D2Q9,
 ):
     """Build ``step(f_loc, top_halo, bot_halo [, g_ext]) -> f_loc`` advancing
     one y-shard of the multicomponent engine by ``k_steps`` LB steps.
@@ -484,11 +490,12 @@ def make_mc_halo_step(
     identically at every internal step (callers force K=1 for step-varying
     fields). The returned function has attributes ``chunk`` and ``k_steps``.
     """
-    lattice = D2Q9
     q = lattice.q
+    reach = int(max(max(abs(c) for c in lattice.cy), 1))
     C = len(cfg.fluids)
     belt = cfg.belt
-    tiling = pick_mc_tiling(H, nx, C, belt, cfg.has_ext, k_steps)
+    tiling = pick_mc_tiling(H, nx, C, belt, cfg.has_ext, k_steps,
+                            q=q, reach=reach)
     if chunk is not None or k_steps is not None:
         CH = chunk if chunk is not None else (tiling[0] if tiling else None)
         K = k_steps if k_steps is not None else (tiling[1] if tiling else 1)
@@ -508,7 +515,11 @@ def make_mc_halo_step(
     # (single_component.py:533-646, via models.multicomponent).
     def _stencil(b):
         if b == 1:
-            return [(ws[j], cxs[j], cys[j]) for j in range(1, q)]
+            # ALWAYS the D2Q9 moving vectors, even on a D2Q25 lattice —
+            # the reference's interaction force is built from the D2Q9
+            # stencil regardless (multi.py:517-529)
+            return [(D2Q9.w[j], D2Q9.cx[j], D2Q9.cy[j])
+                    for j in range(1, D2Q9.q)]
         from ..models.multicomponent import SECOND_BELT_STENCIL
         return [(w_, cx_, cy_) for w_, (cx_, cy_) in SECOND_BELT_STENCIL]
 
@@ -528,14 +539,23 @@ def make_mc_halo_step(
                       or cfg.interactions or cfg.porous)
 
         # hydro (update_hydro_pourous, single_component.cl:214-274),
-        # pair-factored momenta
+        # pair-factored momenta on D2Q9, per-direction otherwise
         jx, jy, u, v, good, safe = [], [], [], [], [], []
         for i in range(C):
             f_ = fs[i]
-            d57 = f_[5] - f_[7]
-            d68 = f_[6] - f_[8]
-            jxi = (f_[1] - f_[3]) + d57 - d68
-            jyi = (f_[2] - f_[4]) + d57 + d68
+            if lattice is D2Q9:
+                d57 = f_[5] - f_[7]
+                d68 = f_[6] - f_[8]
+                jxi = (f_[1] - f_[3]) + d57 - d68
+                jyi = (f_[2] - f_[4]) + d57 + d68
+            else:
+                jxi = jnp.zeros_like(rho[i])
+                jyi = jnp.zeros_like(rho[i])
+                for j in range(1, q):
+                    if cxs[j]:
+                        jxi = jxi + float(cxs[j]) * f_[j]
+                    if cys[j]:
+                        jyi = jyi + float(cys[j]) * f_[j]
             jx.append(jxi)
             jy.append(jyi)
             g = rho[i] > zd
@@ -669,6 +689,44 @@ def make_mc_halo_step(
             return res
 
         out = [[None] * q for _ in range(C)]
+        if lattice is not D2Q9:
+            # generic per-direction feq + Guo (any q; D2Q25 via
+            # multi.py:821-879)
+            for i, fl in enumerate(cfg.fluids):
+                om, eps = fl.omega, fl.epsilon
+                A = 1.0 - om
+                pref = 1.0 - 0.5 * om
+                e = eps if cfg.porous else 1.0
+                if has_forces:
+                    Gxi, Gyi = Gx[i], Gy[i]
+                    uF = Gxi * ub + Gyi * vb
+                    base = rho[i] * pref if cfg.porous else pref
+                for j in range(q):
+                    cu = float(cxs[j]) * ub + float(cys[j]) * vb
+                    quad = (cu / cs2 + cu * cu / (2 * cs2 * cs2 * eps)
+                            - usq / (2 * cs2 * eps))
+                    val = fs[i][j] * A + (om * ws[j]) * rho[i] * (1.0 + quad)
+                    if has_forces:
+                        cF = float(cxs[j]) * Gxi + float(cys[j]) * Gyi
+                        Fi = (ws[j] * base) * (
+                            cF / cs2 + cF * cu / (cs2 * cs2 * e)
+                            - uF / (cs2 * e))
+                        val = val + Fi
+                    out[i][j] = val
+            for coll in cfg.collisions:
+                if coll[0] == "eating":
+                    _, ei, ej, rate = coll
+                    growth = np.asarray(rate, dtype) * rho[ei] * rho[ej]
+                    for j in range(q):
+                        out[ei][j] = out[ei][j] + ws[j] * growth
+                        out[ej][j] = out[ej][j] - ws[j] * growth
+                else:
+                    _, gi, lo, hi, rate = coll
+                    grow = jnp.where((rho[gi] > lo) & (rho[gi] < hi),
+                                     np.asarray(rate, dtype), 0.0)
+                    for j in range(q):
+                        out[gi][j] = out[gi][j] + ws[j] * grow
+            return out
         for i, fl in enumerate(cfg.fluids):
             om, eps = fl.omega, fl.epsilon
             A = 1.0 - om
@@ -732,5 +790,5 @@ def make_mc_halo_step(
     return _make_halo_kernel(
         H=H, nx=nx, C=C, CH=CH, K=K, belt=belt,
         n_ext=2 * C if cfg.has_ext else 0, phys=phys, dtype=dtype,
-        interpret=interpret,
-        flops_per_cell=300 * C + 40 * len(cfg.interactions) * 8)
+        interpret=interpret, lattice=lattice,
+        flops_per_cell=(35 * q) * C + 40 * len(cfg.interactions) * 8)

@@ -306,3 +306,33 @@ def test_kernel_temporal_sharded_parity():
     assert sh.backend_used == "kernel" and sh.steps_per_call > 1
     np.testing.assert_allclose(np.asarray(sh.f), np.asarray(ref.f),
                                atol=5e-7, rtol=1e-5)
+
+
+def test_d2q25_kernel_parity():
+    """The fused kernel's generic-lattice branch (D2Q25: +/-2 streaming
+    reach, per-direction moments/feq/Guo, D2Q9 interaction stencil as in
+    multi.py:517-529) matches the XLA runner."""
+    from lb2d_tpu.core.lattice import D2Q25
+
+    sims = {}
+    for backend in ("kernel", "xla"):
+        sim = SimulationRunner(nx=128, ny=24, L_lb=128, T_lb=1.0,
+                               num_populations=2, porous=False,
+                               lattice=D2Q25, backend=backend)
+        for i in range(2):
+            sim.add_fluid(Fluid(sim, i, nu_e=0.5))
+        sim.complete_setup()
+        rng = np.random.RandomState(3)
+        base = 0.5 + 0.05 * rng.rand(sim.ny, sim.nx)
+        sim.fluid_list[0].initialize(base)
+        sim.fluid_list[1].initialize(1.0 - base)
+        sim.add_interaction_force(0, 1, G_int=1.5, potential="shan_chen",
+                                  potential_parameters=[1.0])
+        sim.add_eating_rate(0, 1, 0.005)
+        sim.run(6)
+        sims[backend] = sim
+    assert sims["kernel"].backend_used == "kernel"
+    assert sims["kernel"].steps_per_call > 1
+    np.testing.assert_allclose(np.asarray(sims["kernel"].f),
+                               np.asarray(sims["xla"].f),
+                               atol=5e-7, rtol=1e-5)
