@@ -419,9 +419,16 @@ def _make_halo_kernel(
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * (4 if has_ext else 3)
 
+    # In-place update: the store trail runs >= 2K chunks behind the load
+    # front (store(c) issues at iteration c + 2K - 1, loads there touch
+    # chunk c + 2K + 2), so writing the output over the input buffer never
+    # clobbers unread rows; the wrap/ppermute halos are separate buffers
+    # materialized before the call. Halves the kernel's HBM footprint —
+    # 4.8 GB at 8192^2 2-fluid, which is what lets BASELINE config 5 fit.
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((P, H, nx), dtype),
+        input_output_aliases={0: 0},
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=scratch,
