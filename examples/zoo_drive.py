@@ -110,13 +110,23 @@ def main(steps=200, big=False):
 
     # solver families (no run(n) loop)
     try:
-        solver = M.PoissonSolver(nx=64, ny=64, sources=np.ones((64, 64)),
-                                 delta_t=4e-4, delta_x=1.0 / 32)
-        solver.run(2000)
+        n_p = 512 if big else 64
+        solver = M.PoissonSolver(nx=n_p, ny=n_p,
+                                 sources=np.ones((n_p, n_p)),
+                                 delta_t=4e-4 * (64 / n_p) ** 2,
+                                 delta_x=2.0 / n_p)
+        solver.run(20000, timed=True)
         phi = solver.get_fields()["rho"]
+        its = solver.num_iterations
+        mlups = getattr(solver, "last_mlups", None)
+        secs = getattr(solver, "last_solve_seconds", None)
+        note = ("ok" if np.isfinite(phi).all() else "NON-FINITE")
+        note += (f" ({int(its)} iters, {secs:.2f}s/solve,"
+                 f" conv={solver.converged})")
         rows.append(["PoissonSolver", "while_loop",
-                     "-", "ok" if np.isfinite(phi).all() else "NON-FINITE"])
+                     f"{mlups:.0f}" if mlups else "-", note])
     except Exception as e:
+        traceback.print_exc()
         rows.append(["PoissonSolver", "-", "-", f"FAIL: {e}"])
     try:
         import jax.numpy as jnp

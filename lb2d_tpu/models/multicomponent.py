@@ -162,15 +162,29 @@ class Fluid:
         """
         sim = self.sim
         i = self.field_index
+        eps = self.epsilon
         rho_arr = jnp.asarray(np.asarray(rho_arr), sim.dtype)
         sim.rho = sim.rho.at[i].set(rho_arr)
-        feq_i = sim._feq_single(rho_arr, sim.u_bary, sim.v_bary, self.epsilon)
+
+        # jitted + donated: the eager per-op path materializes several
+        # full-grid [q, ny, nx] temporaries (feq, cu, cu^2, ...) and
+        # OOMs at 8192^2
+        def install(f, rho_a, u, v, perturb):
+            feq_i = sim._feq_single(rho_a, u, v, eps)
+            if perturb is not None:
+                feq_i = feq_i * perturb
+            return f.at[:, i].set(feq_i)
+
+        perturb = None
         if f_amp:
             rng = np.random.RandomState(
                 seed if seed is not None else 7 * (i + 1))
-            feq_i = feq_i * jnp.asarray(
-                1.0 + f_amp * rng.randn(*feq_i.shape), sim.dtype)
-        sim.f = sim.f.at[:, i].set(feq_i)
+            perturb = jnp.asarray(
+                1.0 + f_amp * rng.randn(sim.lattice.q, sim.ny, sim.nx),
+                sim.dtype)
+        sim.f = jax.jit(install, donate_argnums=0,
+                        static_argnames=())(
+            sim.f, rho_arr, sim.u_bary, sim.v_bary, perturb)
 
 
 class SimulationRunner:
@@ -747,13 +761,21 @@ class SimulationRunner:
         return self
 
     def _refresh_hydro(self):
-        lat = self.lattice
-        w, cx, cy = self._consts()
-        f = self.f
-        self.rho = jnp.sum(f, axis=0)
-        rho_tot = jnp.sum(self.rho, axis=0)
-        self.u_bary = jnp.sum(jnp.sum(cx[:, None] * f, axis=0), axis=0) / rho_tot
-        self.v_bary = jnp.sum(jnp.sum(cy[:, None] * f, axis=0), axis=0) / rho_tot
+        if not hasattr(self, "_refresh_jit"):
+            def refresh(f):
+                # jitted: the eager form materializes full [q, C, ny, nx]
+                # weighted temporaries (OOM at 8192^2)
+                w, cx, cy = self._consts()
+                rho = jnp.sum(f, axis=0)
+                rho_tot = jnp.sum(rho, axis=0)
+                u = jnp.sum(jnp.sum(cx[:, None] * f, axis=0),
+                            axis=0) / rho_tot
+                v = jnp.sum(jnp.sum(cy[:, None] * f, axis=0),
+                            axis=0) / rho_tot
+                return rho, u, v
+
+            self._refresh_jit = jax.jit(refresh)
+        self.rho, self.u_bary, self.v_bary = self._refresh_jit(self.f)
 
     def check_fields(self):
         """Conservation debug dump (``single_component.py:753-766``)."""
