@@ -801,14 +801,23 @@ class SimulationRunner:
 def _zero_gradient_bcs(f, i):
     """``move_open_bcs`` (``single_component.cl:417-519``): every edge cell
     copies ALL populations of field ``i`` from its adjacent interior cell
-    (corners from the diagonal interior neighbor)."""
+    (corners from the diagonal interior neighbor).
+
+    Masked-select form, not edge scatters: GSPMD miscompiles ``.at[].set``
+    on the edges of y-sharded arrays (each shard applies the global row -1
+    update to its own last local row — cf. the noflux multifield BC fix)."""
     fi = f[:, i]
-    fi = fi.at[:, 1:-1, 0].set(fi[:, 1:-1, 1])
-    fi = fi.at[:, 1:-1, -1].set(fi[:, 1:-1, -2])
-    fi = fi.at[:, -1, 1:-1].set(fi[:, -2, 1:-1])
-    fi = fi.at[:, 0, 1:-1].set(fi[:, 1, 1:-1])
-    fi = fi.at[:, 0, 0].set(fi[:, 1, 1])
-    fi = fi.at[:, -1, 0].set(fi[:, -2, 1])
-    fi = fi.at[:, 0, -1].set(fi[:, 1, -2])
-    fi = fi.at[:, -1, -1].set(fi[:, -2, -2])
+    ny, nx = fi.shape[-2], fi.shape[-1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
+    # neighbor-to-copy coordinates: clamp each edge cell one cell inward
+    # (corners clamp both axes -> diagonal interior neighbor)
+    down = jnp.roll(fi, -1, axis=-2)   # value at (y+1, x)
+    up = jnp.roll(fi, 1, axis=-2)      # value at (y-1, x)
+    fi = jnp.where(row == 0, down, fi)
+    fi = jnp.where(row == ny - 1, up, fi)
+    right = jnp.roll(fi, -1, axis=-1)  # value at (y, x+1), post-row-fix
+    left = jnp.roll(fi, 1, axis=-1)    # value at (y, x-1)
+    fi = jnp.where(lane == 0, right, fi)
+    fi = jnp.where(lane == nx - 1, left, fi)
     return f.at[:, i].set(fi)

@@ -336,3 +336,21 @@ def test_d2q25_kernel_parity():
     np.testing.assert_allclose(np.asarray(sims["kernel"].f),
                                np.asarray(sims["xla"].f),
                                atol=5e-7, rtol=1e-5)
+
+
+def test_zero_gradient_bc_gspmd_safe():
+    """Zero-gradient BC under GSPMD on a y-sharded state matches eager —
+    regression for the edge-scatter miscompilation pattern."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from lb2d_tpu.models.multicomponent import _zero_gradient_bcs
+    from lb2d_tpu.parallel.sharded import make_mesh
+
+    rng = np.random.RandomState(0)
+    f = jnp.asarray(rng.rand(9, 1, 64, 32), jnp.float32)
+    mesh = make_mesh(4, shape=(4, 1))
+    fs = jax.device_put(f, NamedSharding(mesh, P(None, None, "y", None)))
+    a = jax.jit(lambda x: _zero_gradient_bcs(x, 0))(fs)
+    b = _zero_gradient_bcs(f, 0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
