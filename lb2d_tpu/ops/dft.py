@@ -48,14 +48,88 @@ def _cmatmul(ar, ai, br, bi):
     return mm(ar, br) - mm(ai, bi), mm(ar, bi) + mm(ai, br)
 
 
+def _split_n(n: int) -> tuple[int, int] | None:
+    """Factor ``n = n1 * n2`` with ``n1 <= n2`` as close to ``sqrt(n)`` as
+    possible — the Bailey 4-step split. None for small or prime-ish n
+    (direct DFT wins / required)."""
+    if n < 512:
+        return None
+    best = None
+    n1 = int(np.sqrt(n))
+    while n1 >= 16:
+        if n % n1 == 0:
+            best = (n1, n // n1)
+            break
+        n1 -= 1
+    return best
+
+
+def _twiddle(n1: int, n2: int, inverse: bool):
+    """``W_N^(+-bc)`` for c < n1 (rows), b < n2 (cols); exact int32 phase
+    (bc < N so no mod needed)."""
+    c = jax.lax.iota(jnp.int32, n1)
+    b = jax.lax.iota(jnp.int32, n2)
+    bc = c[:, None] * b[None, :]
+    ang = (2.0 * np.pi / (n1 * n2)) * bc.astype(jnp.float32)
+    sign = 1.0 if inverse else -1.0
+    return jnp.cos(ang), sign * jnp.sin(ang)
+
+
+def _fft1_fast(xr, xi, inverse: bool):
+    """Batched 1-D DFT along the LAST axis via the Bailey 4-step
+    factorization: with ``n = n1 n2``, index ``m = n2 a + b``,
+    ``k = c + n1 d``::
+
+        X[c + n1 d] = sum_b W_N^{bc} W_{n2}^{bd} (sum_a x[n2 a + b] W_{n1}^{ac})
+
+    i.e. a [n1 x n1] matmul, an elementwise twiddle, and a [n2 x n2]
+    matmul — ``O(n (n1 + n2))`` instead of ``O(n^2)`` per row (42x fewer
+    MXU flops at n = 8192). Falls back to the direct DFT matrix when n
+    doesn't factor nicely. The inverse is the forward of the conjugate,
+    conjugated and 1/N-scaled."""
+    if inverse:
+        yr, yi = _fft1_fast(xr, -xi, inverse=False)
+        n = xr.shape[-1]
+        return yr * (1.0 / n), yi * (-1.0 / n)
+    *batch, n = xr.shape
+    split = _split_n(n)
+    if split is None:
+        c, s = dft_mats(n, False)
+        # x @ F^T; F symmetric
+        return _cmatmul(xr, xi, c, s)
+    n1, n2 = split
+    m = int(np.prod(batch)) if batch else 1
+    # M[a, b] with n = n2 a + b -> reshape rows-major
+    Mr = xr.reshape(m, n1, n2)
+    Mi = xi.reshape(m, n1, n2)
+    F1c, F1s = dft_mats(n1, False)
+    F2c, F2s = dft_mats(n2, False)
+    # step 1: T1[c, b] = sum_a F1[c, a] M[a, b]  (fold batch into cols)
+    M2r = jnp.transpose(Mr, (1, 0, 2)).reshape(n1, m * n2)
+    M2i = jnp.transpose(Mi, (1, 0, 2)).reshape(n1, m * n2)
+    T1r, T1i = _cmatmul(F1c, F1s, M2r, M2i)
+    # step 2: twiddle W_N^{bc}
+    twc, tws = _twiddle(n1, n2, False)
+    T1r = T1r.reshape(n1, m, n2)
+    T1i = T1i.reshape(n1, m, n2)
+    T2r = T1r * twc[:, None, :] - T1i * tws[:, None, :]
+    T2i = T1r * tws[:, None, :] + T1i * twc[:, None, :]
+    # step 3: X_mat[c, d] = sum_b T2[c, b] F2[d, b]  (F2 symmetric)
+    T3r = T2r.reshape(n1 * m, n2)
+    T3i = T2i.reshape(n1 * m, n2)
+    Xr, Xi = _cmatmul(T3r, T3i, F2c, F2s)
+    # k = c + n1 d: output laid out [c, m, d] -> [m, d, c] -> [m, n]
+    Xr = jnp.transpose(Xr.reshape(n1, m, n2), (1, 2, 0)).reshape(m, n)
+    Xi = jnp.transpose(Xi.reshape(n1, m, n2), (1, 2, 0)).reshape(m, n)
+    return Xr.reshape(*batch, n), Xi.reshape(*batch, n)
+
+
 def _apply2d(xr, xi, inverse: bool):
-    ny, nx = xr.shape
-    cy, sy = dft_mats(ny, inverse)
-    cx, sx = dft_mats(nx, inverse)
-    # rows: F_y @ X
-    yr, yi = _cmatmul(cy, sy, xr, xi)
-    # cols: (.) @ F_x^T ; DFT matrix is symmetric so F_x^T = F_x
-    return _cmatmul(yr, yi, cx, sx)
+    # last axis, then transpose so the y axis is last, then transpose back
+    yr, yi = _fft1_fast(xr, xi, inverse)
+    yr, yi = yr.T, yi.T
+    zr, zi = _fft1_fast(yr, yi, inverse)
+    return zr.T, zi.T
 
 
 def fft2_mm(xr, xi=None):
