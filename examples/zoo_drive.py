@@ -84,7 +84,7 @@ def main(steps=200, big=False):
         ("NoisyAdvectedFisherWave", lambda: M.NoisyAdvectedFisherWave(
             N=n_diff, z=0.1, Lx=d_lx, Ly=d_lx, D=1.0, g=10.0, Nc=10.0)),
         ("ScreenedFisherWave", lambda: M.ScreenedFisherWave(
-            Lx=1.0, Ly=1.0, vc=1.0, lam=0.5, R0=0.2, N=128 if big else 48)),
+            Lx=1.0, Ly=1.0, vc=1.0, lam=0.5, R0=0.2, N=512 if big else 48)),
         ("RepellingFisherWave", lambda: M.RepellingFisherWave(
             Lx=1.0, Ly=1.0, E=2.0, R0=0.25, N=24, max_inner_iter=60)),
         ("FisherExpansion", lambda: M.FisherExpansion(
@@ -96,14 +96,14 @@ def main(steps=200, big=False):
             D_standard=1.0, D_list=[1.0, 1.2], N=511 if big else 63,
             Nb=10.0, Dc=1.0)),
         ("SurfactantNutrientWave", lambda: M.SurfactantNutrientWave(
-            Lx=1.0, Ly=1.0, vc=1.0, lam=0.5, R0=0.2, N=64 if big else 32)),
+            Lx=1.0, Ly=1.0, vc=1.0, lam=0.5, R0=0.2, N=512 if big else 32)),
         ("ClumpySurfactantNutrientWave",
          lambda: M.ClumpySurfactantNutrientWave(
-             Lx=1.0, Ly=1.0, vc=1.0, lam=0.5, R0=0.2, N=32, rho_o=1.0,
-             G_chen=-5.0)),
+             Lx=1.0, Ly=1.0, vc=1.0, lam=0.5, R0=0.2, N=512 if big else 32,
+             rho_o=1.0, G_chen=-5.0)),
         ("RocketYeast", lambda: M.RocketYeast(
-            Lx=1.0, Ly=1.0, R0=0.2, epsilon=0.05, Gc=2.0, N=32,
-            G_chen=-0.1)),
+            Lx=1.0, Ly=1.0, R0=0.2, epsilon=0.05, Gc=2.0,
+            N=1024 if big else 32, G_chen=-0.1)),
     ]
 
     rows = [drive(name, build, steps) for name, build in zoo]
@@ -140,7 +140,7 @@ def main(steps=200, big=False):
         rows.append(["ScreenedPoisson", "-", "-", f"FAIL: {e}"])
     try:
         # the spinodal-decomposition notebook workload
-        n_sc = 512 if big else 128
+        n_sc = 1024 if big else 128
         runner = M.SimulationRunner(nx=n_sc, ny=n_sc, L_lb=n_sc, T_lb=1.0,
                                     num_populations=2, porous=False)
         for i in range(2):
@@ -156,7 +156,8 @@ def main(steps=200, big=False):
         runner.add_interaction_force(0, 1, G_int=1.5, potential="linear")
         runner.run(steps, timed=True)
         rho = runner.get_fields()["rho"]
-        rows.append(["SimulationRunner (Shan-Chen x2)", "xla",
+        rows.append([f"SimulationRunner (Shan-Chen x2) {n_sc}^2",
+                     f"{runner.backend_used} K={runner.steps_per_call}",
                      f"{runner.last_mlups:.0f}",
                      "ok" if np.isfinite(rho).all() else "NON-FINITE"])
     except Exception as e:

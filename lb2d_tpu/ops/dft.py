@@ -43,16 +43,24 @@ def dft_mats(n: int, inverse: bool = False):
 
 
 def _cmatmul(ar, ai, br, bi):
-    """(ar + i ai) @ (br + i bi) with f32 MXU accumulation."""
-    mm = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+    """(ar + i ai) @ (br + i bi) with full-f32 MXU passes.
+
+    ``Precision.HIGHEST`` matters: the TPU default runs f32 matmuls as one
+    bf16 pass, which costs the DFT ~3 significant digits (4.6e-2 roundtrip
+    error at 8192^2 vs 3.3e-5) while the extra passes are nearly free here
+    (the 4-step factors are skinny, so these matmuls are bandwidth-bound:
+    84 ms vs 71 ms for the full 8192^2 forward+inverse)."""
+    mm = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
     return mm(ar, br) - mm(ai, bi), mm(ar, bi) + mm(ai, br)
 
 
 def _split_n(n: int) -> tuple[int, int] | None:
     """Factor ``n = n1 * n2`` with ``n1 <= n2`` as close to ``sqrt(n)`` as
-    possible — the Bailey 4-step split. None for small or prime-ish n
-    (direct DFT wins / required)."""
-    if n < 512:
+    possible — the Bailey 4-step split. None for small or prime-ish n:
+    below ~4096 the direct [n x n] DFT matmul both fills the MXU better
+    (the split's [n1 x n1] factors are tiny) and is already sub-ms."""
+    if n < 4096:
         return None
     best = None
     n1 = int(np.sqrt(n))
