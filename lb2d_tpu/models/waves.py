@@ -266,6 +266,13 @@ class ScreenedFisherWave(LBModel):
         return self.nx * self.ny
 
     def make_step(self):
+        if jax.default_backend() == "tpu":
+            step = self._make_kernel_step()
+            if step is not None:
+                return step
+        return self._make_xla_step()
+
+    def _make_xla_step(self):
         lat = self.lattice
         omega = jnp.asarray(self.omega, self.dtype)
         w = jnp.asarray(lat.w_np())[:, None, None]
@@ -279,6 +286,45 @@ class ScreenedFisherWave(LBModel):
             feq = feq_linear(rho, u, v, lat)
             react = G * rho * (1.0 - rho)
             return bgk(f, feq, omega) + w * react
+
+        return step
+
+    def _make_kernel_step(self, interpret=None):
+        """Fused LBM sweep (``ops/fused_coupled.py``) with the per-step
+        screened-Poisson velocity entering as 2 external planes, computed
+        from the post-stream density (exact order match with the XLA
+        step)."""
+        from ..ops.fused_coupled import (make_screened_fisher_step,
+                                         pick_coupled_tiling)
+
+        ny, nx = self.ny, self.nx
+        if self.dtype != jnp.float32:
+            return None
+        if pick_coupled_tiling(ny, nx, 0, 2, 1) is None:
+            return None
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        kernel = make_screened_fisher_step(
+            H=ny, nx=nx, omega=float(self.omega), lb_G=float(self.lb_G),
+            dtype=self.dtype, interpret=interpret)
+        CH = kernel.chunk
+        lat = self.lattice
+        velocity = self._velocity
+
+        def step(f):
+            r = None
+            for j in range(lat.q):
+                p = f[j]
+                if lat.cy[j]:
+                    p = jnp.roll(p, lat.cy[j], axis=0)
+                if lat.cx[j]:
+                    p = jnp.roll(p, lat.cx[j], axis=1)
+                r = p if r is None else r + p
+            u, v = velocity(r)
+            ext = jnp.stack([u, v]).astype(self.dtype)
+            top = f[:, ny - CH:, :]
+            bot = f[:, :CH, :]
+            return kernel(f, top, bot, ext)
 
         return step
 

@@ -47,6 +47,7 @@ __all__ = [
     "pick_coupled_tiling",
     "make_rocket_yeast_step",
     "make_surfactant_step",
+    "make_screened_fisher_step",
 ]
 
 POP = 0
@@ -182,6 +183,43 @@ def make_rocket_yeast_step(
     return _make_halo_kernel(
         H=H, nx=nx, C=2, CH=CH, K=K, belt=belt, n_ext=0, phys=phys,
         dtype=dtype, interpret=interpret, flops_per_cell=400)
+
+
+def make_screened_fisher_step(
+    *,
+    H: int,
+    nx: int,
+    omega: float,
+    lb_G: float,
+    dtype=jnp.float32,
+    interpret: bool = False,
+    chunk: int | None = None,
+):
+    """Fused single-step kernel for :class:`~lb2d_tpu.models.waves.
+    ScreenedFisherWave`: one field, linear feq on the externally-supplied
+    screened-Poisson velocity (2 ext planes), Fisher source
+    (``screened_poisson_waves.py:373-387``). K=1 — the velocity is only
+    valid for the step it was solved from."""
+    lattice = D2Q9
+    q = lattice.q
+    ws = lattice.w
+    tiling = pick_coupled_tiling(H, nx, 0, 2, 1)
+    if tiling is None:
+        raise ValueError(f"no screened-fisher tiling for {H}x{nx}")
+    CH = chunk or tiling[0]
+    A = 1.0 - omega
+
+    def phys(fs, rho, rho_ext, ext):
+        u, v = ext[0], ext[1]
+        coef = _coef9(u, v)
+        r = rho[0]
+        react = lb_G * r * (1.0 - r)
+        return [[fs[0][j] * A + (omega * ws[j]) * r * coef[j]
+                 + ws[j] * react for j in range(q)]]
+
+    return _make_halo_kernel(
+        H=H, nx=nx, C=1, CH=CH, K=1, belt=0, n_ext=2, phys=phys,
+        dtype=dtype, interpret=interpret, flops_per_cell=120)
 
 
 def make_surfactant_step(

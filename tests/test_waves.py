@@ -91,3 +91,21 @@ def test_dft_bailey_4step_matches_numpy():
         assert np.abs(np.asarray(Xi) - ref.imag).max() / scale < 1e-5
         br, _ = jax.jit(ifft2_mm)(Xr, Xi)
         assert np.abs(np.asarray(br) - x).max() < 1e-4
+
+
+def test_screened_fisher_kernel_parity():
+    """Fused screened-Fisher kernel (spectral velocity as external planes)
+    == the XLA step."""
+    import jax
+    import jax.numpy as jnp
+    from lb2d_tpu.models.waves import ScreenedFisherWave
+
+    m = ScreenedFisherWave(Lx=1.0, Ly=1.0, vc=1.0, lam=0.5, R0=0.2, N=128)
+    xs = jax.jit(m._make_xla_step())
+    ks = jax.jit(m._make_kernel_step(interpret=True))
+    fx = fk = m.state
+    for _ in range(5):
+        fx = xs(fx)
+        fk = ks(fk)
+    np.testing.assert_allclose(np.asarray(fk), np.asarray(fx),
+                               atol=5e-7, rtol=1e-5)
