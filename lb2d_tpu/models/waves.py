@@ -193,16 +193,19 @@ class _ScreenedVelocity:
         return rescale, ax, ay
 
     def __call__(self, rho):
+        # Both gradient spectra are Hermitian (real rho x odd-real
+        # multiplier), so ONE complex inverse transform carries both:
+        # ifft(A + iB) = xg + i yg exactly. 2 transforms per solve, not 3.
         rescale, ax, ay = self._fields()
         if self.method == "fft":
             chat = jnp.fft.fft2(rho.astype(jnp.complex64)) * rescale
-            xg = jnp.real(jnp.fft.ifft2(chat * (1j * ax)))
-            yg = jnp.real(jnp.fft.ifft2(chat * (1j * ay)))
+            g = jnp.fft.ifft2(chat * (1j * ax) + 1j * (chat * (1j * ay)))
+            xg, yg = jnp.real(g), jnp.imag(g)
         else:
             cr, ci = fft2_mm(rho)
             cr, ci = cr * rescale, ci * rescale
-            xg, _ = ifft2_mm(-ax * ci, ax * cr)
-            yg, _ = ifft2_mm(-ay * ci, ay * cr)
+            # A = (-ax ci, ax cr), B = (-ay ci, ay cr); C = A + iB
+            xg, yg = ifft2_mm(-ax * ci - ay * cr, ax * cr - ay * ci)
         return self.scale * xg, self.scale * yg
 
 
