@@ -199,6 +199,13 @@ class RocketYeast(LBModel):
         self._single_step = self._make_xla_step()
         return stepK
 
+    def device_field(self, name):
+        if name == "rho":
+            return jnp.sum(self.state[:, self.POP], axis=0)
+        if name == "surfactant":
+            return jnp.sum(self.state[:, self.SURF], axis=0)
+        return None
+
     def get_fields(self):
         f = self.state
         rho = jnp.sum(f, axis=0)

@@ -228,6 +228,13 @@ class SurfactantNutrientWave(LBModel):
 
         return step
 
+    def device_field(self, name):
+        if name == "rho":
+            return jnp.sum(self.state[:, self.POP], axis=0)
+        if name == "nutrient":
+            return jnp.sum(self.state[:, self.NUT], axis=0)
+        return None
+
     def get_fields(self):
         f = self.state
         rho = jnp.sum(f, axis=0)
