@@ -734,8 +734,12 @@ class SimulationRunner:
                         0, n, lambda i, s: xstep(s), f),
                     donate_argnums=0)
         if timed and not getattr(self, "_warm", False):
-            # compile + sync outside the timed region (cf. LBModel.run)
+            # compile + sync outside the timed region (cf. LBModel.run),
+            # including the remainder path — its first-use compile would
+            # otherwise land inside the measurement
             self.f = self._run_jit(self.f, jnp.int32(0))
+            if self._run_rem is not None:
+                self.f = self._run_rem(self.f, jnp.int32(0))
             float(jnp.sum(jnp.ravel(self.f)[:8]))
             self._warm = True
         t0 = time.perf_counter() if timed else None

@@ -142,7 +142,9 @@ class RocketYeast(LBModel):
         if jax.default_backend() == "tpu":
             step = self._make_kernel_step()
             if step is not None:
+                self.backend = "kernel"
                 return step
+        self.backend = "xla"
         return self._make_xla_step()
 
     def _make_xla_step(self):
