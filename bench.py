@@ -6,11 +6,23 @@ Black (reference README.md:6-7 / python_cython_opencl_comparison.ipynb).
 """
 
 import json
+import os
 import time
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: the 4096^2 K=8 Mosaic compile takes minutes
+# cold; cached it loads in seconds, keeping the whole benchmark well under
+# typical harness timeouts. Warm with `python bench.py` once.
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass  # older jax: run uncached
 
 BASELINE_MLUPS = 325.0
 
