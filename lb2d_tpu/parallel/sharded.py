@@ -30,6 +30,7 @@ __all__ = [
     "ShardedPipeFlow",
     "ShardedDiffusion",
     "ShardedMultifield",
+    "ShardedCoupled",
 ]
 
 
@@ -497,6 +498,151 @@ class ShardedMultifield:
 def pick_halo_chunk_mf(H, nx, k, F):
     from ..ops.fused_halo import pick_halo_chunk
     return pick_halo_chunk(H, nx, k, num_fields=F)
+
+
+class ShardedCoupled:
+    """Domain decomposition for the coupled two-field / spectral-velocity
+    families: :class:`~lb2d_tpu.models.rocket_yeast.RocketYeast` (+
+    ``ForcesOnly``), :class:`~lb2d_tpu.models.surfactant.
+    SurfactantNutrientWave` (+ ``Clumpy``), and
+    :class:`~lb2d_tpu.models.waves.ScreenedFisherWave`.
+
+    Rocket yeast is fully local (gradient velocity + one-belt forces), so
+    its K-deep kernel runs per shard with ppermute halo chunks, exactly
+    like the multicomponent engine. The spectral families compute their
+    screened-Poisson velocity globally under GSPMD (rolled post-stream
+    density + matmul-DFT) and feed it to the per-shard kernel as external
+    planes (K = 1). All periodic — no seam patches."""
+
+    def __init__(self, base, mesh: Mesh | None = None,
+                 k_steps: int | None = None):
+        from ..models.rocket_yeast import RocketYeast
+        from ..models.surfactant import SurfactantNutrientWave
+        from ..models.waves import ScreenedFisherWave
+        from ..ops.fused_coupled import (make_rocket_yeast_step,
+                                         make_screened_fisher_step,
+                                         make_surfactant_step)
+
+        self.base = base
+        self.mesh = mesh if mesh is not None else make_mesh()
+        my = dict(self.mesh.shape)["y"]
+        if dict(self.mesh.shape).get("x", 1) != 1:
+            raise ValueError("ShardedCoupled needs an x-unsharded mesh")
+        ny, nx = base.ny, base.nx
+        if ny % my:
+            raise ValueError(f"ny={ny} must divide mesh y={my}")
+        H = ny // my
+        self.nx, self.ny = nx, ny
+        self.num_cells = base.num_cells
+        q = base.lattice.q
+        interpret = jax.default_backend() != "tpu"
+        lat = base.lattice
+
+        if isinstance(base, RocketYeast):
+            kw = {}
+            if base._forces_only:
+                kw = dict(forces_only=True, c_o=base.c_o, alpha=base.alpha)
+            kernel = make_rocket_yeast_step(
+                H=H, nx=nx, omega=float(base.omega),
+                omega_c=float(base.omega_c), lb_G=float(base.lb_G),
+                lb_Gc=float(base.lb_Gc), epsilon=float(base.epsilon),
+                rho_o=float(base.rho_o), G_chen=float(base.G_chen),
+                dtype=base.dtype, interpret=interpret, k_steps=k_steps)
+            C, ext_src = 2, None
+        elif isinstance(base, SurfactantNutrientWave):
+            kw = {}
+            if base._clumpy:
+                kw = dict(clumpy=True, rho_o=float(base.rho_o),
+                          G_chen=float(base.G_chen))
+            kernel = make_surfactant_step(
+                H=H, nx=nx, omega=float(base.omega),
+                omega_n=float(base.omega_n), lb_G=float(base.lb_G),
+                dtype=base.dtype, interpret=interpret, **kw)
+            C, ext_src = 2, base.POP
+        elif isinstance(base, ScreenedFisherWave):
+            kernel = make_screened_fisher_step(
+                H=H, nx=nx, omega=float(base.omega), lb_G=float(base.lb_G),
+                dtype=base.dtype, interpret=interpret)
+            C, ext_src = 1, 0
+        else:
+            raise TypeError(f"unsupported model {type(base).__name__}")
+        CH = kernel.chunk
+        K = self.steps_per_call = kernel.k_steps
+        Pp = q * C
+        has_ext = ext_src is not None
+        velocity = base._velocity
+
+        f_spec = P(None, "y", None)
+        self._sharding = NamedSharding(self.mesh, f_spec)
+        self.state = jax.device_put(
+            base.state.reshape(Pp, ny, nx), self._sharding)
+
+        def local_step(f_loc, *ext):
+            top = f_loc[:, H - CH:, :]
+            bot = f_loc[:, :CH, :]
+            if my > 1:
+                top = _ring_shift(top, "y", +1)
+                bot = _ring_shift(bot, "y", -1)
+            if has_ext:
+                return kernel(f_loc, top, bot, ext[0])
+            return kernel(f_loc, top, bot)
+
+        specs = (f_spec, f_spec) if has_ext else (f_spec,)
+        sm = jax.shard_map(local_step, mesh=self.mesh, in_specs=specs,
+                           out_specs=f_spec, check_vma=False)
+
+        if has_ext:
+            def stepK(flat):
+                # post-stream density of the source field via periodic
+                # rolls under GSPMD, then the global spectral solve
+                f4 = flat.reshape(q, C, ny, nx)
+                r = None
+                for j in range(q):
+                    p = f4[j, ext_src]
+                    if lat.cy[j]:
+                        p = jnp.roll(p, lat.cy[j], axis=0)
+                    if lat.cx[j]:
+                        p = jnp.roll(p, lat.cx[j], axis=1)
+                    r = p if r is None else r + p
+                u, v = velocity(r)
+                ext = jax.lax.with_sharding_constraint(
+                    jnp.stack([u, v]).astype(base.dtype), self._sharding)
+                return sm(flat, ext)
+        else:
+            stepK = sm
+
+        self._run_main = jax.jit(
+            lambda s, n: jax.lax.fori_loop(0, n, lambda i, t: stepK(t), s),
+            donate_argnums=0)
+        xstep = base._make_xla_step()
+
+        def rem_step(flat):
+            if C == 1:
+                return xstep(flat)
+            return xstep(flat.reshape(q, C, ny, nx)).reshape(Pp, ny, nx)
+
+        self._run_rem = jax.jit(
+            lambda s, n: jax.lax.fori_loop(
+                0, n, lambda i, t: rem_step(t), s),
+            donate_argnums=0)
+        self._q, self._C = q, C
+
+    def run(self, num_iterations: int):
+        n_calls, rem = divmod(int(num_iterations), self.steps_per_call)
+        if n_calls:
+            self.state = self._run_main(self.state, jnp.int32(n_calls))
+        if rem:
+            self.state = self._run_rem(self.state, jnp.int32(rem))
+        return self
+
+    def _state_model(self):
+        if self._C == 1:
+            return self.state
+        return self.state.reshape(self._q, self._C, self.ny, self.nx)
+
+    def get_fields(self):
+        self.base.state = self._state_model()
+        return self.base.get_fields()
 
 
 class ShardedPipeFlow:

@@ -267,3 +267,44 @@ def test_noflux_bcs_gspmd_safe():
     a = jax.jit(noflux_bcs_multifield)(fs)
     b = noflux_bcs_multifield(f)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_coupled_rocket_yeast_parity():
+    """K-deep rocket-yeast kernel per shard (fully local physics) matches
+    the unsharded XLA step."""
+    import jax
+    from lb2d_tpu.models.rocket_yeast import RocketYeast
+    from lb2d_tpu.parallel.sharded import ShardedCoupled, make_mesh
+
+    kw = dict(Lx=1.0, Ly=1.0, R0=0.2, epsilon=0.05, Gc=2.0, N=128,
+              G_chen=-0.1)
+    ref = RocketYeast(**kw)
+    xs = jax.jit(ref._make_xla_step())
+    fx = ref.state
+    for _ in range(7):
+        fx = xs(fx)
+    sh = ShardedCoupled(RocketYeast(**kw), mesh=make_mesh(4, shape=(4, 1)))
+    assert sh.steps_per_call > 1
+    sh.run(7)  # sweeps + remainder
+    np.testing.assert_allclose(np.asarray(sh._state_model()),
+                               np.asarray(fx), atol=5e-7, rtol=1e-5)
+
+
+def test_sharded_coupled_spectral_parity():
+    """Spectral-velocity families sharded: the screened-Poisson solve runs
+    globally under GSPMD, the kernel per shard."""
+    import jax
+    from lb2d_tpu.models.waves import ScreenedFisherWave
+    from lb2d_tpu.parallel.sharded import ShardedCoupled, make_mesh
+
+    kw = dict(Lx=1.0, Ly=1.0, vc=1.0, lam=0.5, R0=0.2, N=128)
+    ref = ScreenedFisherWave(**kw)
+    xs = jax.jit(ref._make_xla_step())
+    fx = ref.state
+    for _ in range(5):
+        fx = xs(fx)
+    sh = ShardedCoupled(ScreenedFisherWave(**kw),
+                        mesh=make_mesh(4, shape=(4, 1)))
+    sh.run(5)
+    np.testing.assert_allclose(np.asarray(sh._state_model()),
+                               np.asarray(fx), atol=5e-7, rtol=1e-5)
