@@ -727,18 +727,26 @@ class SimulationRunner:
                 lambda f, n: jax.lax.fori_loop(0, n, lambda i, s: step(s), f),
                 donate_argnums=0)
             if self.steps_per_call > 1:
-                # remainder steps run the (already traced) XLA step
-                xstep = self._step
+                # remainder steps run a K=1 kernel (NOT the XLA step: its
+                # unfused intermediates OOM at 8192^2); compiled only if a
+                # non-multiple-of-K iteration count ever occurs
+                spc = self.steps_per_call
+                rem_step = self._make_kernel_step(k_steps=1)
+                self.steps_per_call = spc
+                if rem_step is None:
+                    rem_step = self._step
                 self._run_rem = jax.jit(
                     lambda f, n: jax.lax.fori_loop(
-                        0, n, lambda i, s: xstep(s), f),
+                        0, n, lambda i, s: rem_step(s), f),
                     donate_argnums=0)
         if timed and not getattr(self, "_warm", False):
             # compile + sync outside the timed region (cf. LBModel.run),
-            # including the remainder path — its first-use compile would
-            # otherwise land inside the measurement
+            # including the remainder path when this call will use it —
+            # its first-use compile would otherwise land inside the
+            # measurement
             self.f = self._run_jit(self.f, jnp.int32(0))
-            if self._run_rem is not None:
+            if (self._run_rem is not None
+                    and int(num_iterations) % self.steps_per_call):
                 self.f = self._run_rem(self.f, jnp.int32(0))
             float(jnp.sum(jnp.ravel(self.f)[:8]))
             self._warm = True
