@@ -711,7 +711,14 @@ class SimulationRunner:
 
     # ---- execution -----------------------------------------------------------
     def run(self, num_iterations, debug=False, timed=False, k_steps=None):
+        if (self._run_jit is not None and k_steps is not None
+                and k_steps != getattr(self, "_built_k_steps", None)):
+            # the compiled step is keyed on its temporal depth: a different
+            # k_steps request must rebuild, not silently reuse the old one
+            self._run_jit = None
+            self._warm = False
         if self._run_jit is None:
+            self._built_k_steps = k_steps
             step = None
             self.steps_per_call = 1
             if self.backend in ("auto", "kernel"):

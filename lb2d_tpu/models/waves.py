@@ -180,6 +180,21 @@ class _ScreenedVelocity:
         fx, fy = _freqs(ny, nx, delta_x)
         self._fx = jnp.asarray(fx.astype(np.float32))
         self._fy = jnp.asarray(fy.astype(np.float32))
+        # Gradient multipliers must be *odd* sequences for the packed
+        # one-transform trick below to be exact: at the Nyquist bin
+        # (k = n/2, even n) fftfreq holds an unpaired -n/2 entry, which
+        # breaks Hermitian symmetry of A and B and leaks the other axis's
+        # Nyquist component into each gradient as a checkerboard. Standard
+        # spectral-derivative convention: zero the Nyquist mode (the
+        # screening `rescale` keeps it — only the derivative is odd).
+        gx = fx.astype(np.float32).copy()
+        gy = fy.astype(np.float32).copy()
+        if nx % 2 == 0:
+            gx[nx // 2] = 0.0
+        if ny % 2 == 0:
+            gy[ny // 2] = 0.0
+        self._gx = jnp.asarray(gx)
+        self._gy = jnp.asarray(gy)
         self._lam2 = np.float32(lam * lam)
         self.scale = np.float32(-vc * ulb)
         self.method = spectral_method(method)
@@ -188,8 +203,8 @@ class _ScreenedVelocity:
         KX = self._fx[None, :]
         KY = self._fy[:, None]
         rescale = 1.0 / (self._lam2 * (KX * KX + KY * KY) + 1.0)
-        ax = (2.0 * np.pi) * KX
-        ay = (2.0 * np.pi) * KY
+        ax = (2.0 * np.pi) * self._gx[None, :]
+        ay = (2.0 * np.pi) * self._gy[:, None]
         return rescale, ax, ay
 
     def __call__(self, rho):

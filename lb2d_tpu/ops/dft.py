@@ -30,6 +30,10 @@ def dft_mats(n: int, inverse: bool = False):
     ``2 pi ((k k') mod n) / n`` with an exact int32 product (k k' < 2^31
     for n <= 2^15) — a plain fp32 ``outer(k, k)`` would lose the phase
     entirely at large n (|ang| up to ~5e4 radians)."""
+    if n > 32768:
+        raise ValueError(
+            f"dft_mats: n={n} > 2^15 overflows the exact int32 phase "
+            "product k*k' (the resulting matrix would be silently wrong)")
     k = jax.lax.iota(jnp.int32, n)
     ij = k[:, None] * k[None, :]
     ang = (2.0 * np.pi / n) * (ij % n).astype(jnp.float32)

@@ -547,7 +547,8 @@ class ShardedCoupled:
                 omega_c=float(base.omega_c), lb_G=float(base.lb_G),
                 lb_Gc=float(base.lb_Gc), epsilon=float(base.epsilon),
                 rho_o=float(base.rho_o), G_chen=float(base.G_chen),
-                dtype=base.dtype, interpret=interpret, k_steps=k_steps)
+                dtype=base.dtype, interpret=interpret, k_steps=k_steps,
+                **kw)
             C, ext_src = 2, None
         elif isinstance(base, SurfactantNutrientWave):
             kw = {}

@@ -290,6 +290,16 @@ def test_kernel_temporal_k_parity():
                                    atol=5e-7, rtol=1e-5)
 
 
+def test_run_k_steps_rebuilds_cached_step():
+    """run(n, k_steps=K) after a cached build at a different depth must
+    rebuild at the requested K, not silently reuse the old executable."""
+    sim = _aligned_runner("kernel", porous=True, ny=64)
+    sim.run(4, k_steps=2)
+    assert sim.steps_per_call == 2
+    sim.run(4, k_steps=4)
+    assert sim.steps_per_call == 4
+
+
 def test_kernel_temporal_sharded_parity():
     """K-deep kernel inside shard_map on a virtual 4x1 mesh."""
     from lb2d_tpu.parallel.sharded import make_mesh

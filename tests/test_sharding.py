@@ -290,6 +290,29 @@ def test_sharded_coupled_rocket_yeast_parity():
                                np.asarray(fx), atol=5e-7, rtol=1e-5)
 
 
+def test_sharded_coupled_rocket_yeast_forces_only_parity():
+    """The sharded forces-only variant must run the forces-only velocity
+    (pseudo-force + surface tension), not silently fall back to the
+    standard rocket-yeast physics (regression: the kernel factory was
+    called without the forces_only kwargs)."""
+    import jax
+    from lb2d_tpu.models.rocket_yeast import RocketYeastForcesOnly
+    from lb2d_tpu.parallel.sharded import ShardedCoupled, make_mesh
+
+    kw = dict(Lx=1.0, Ly=1.0, R0=0.2, epsilon=0.05, Gc=2.0, N=128,
+              G_chen=-0.1, c_o=0.3, alpha=2.0)
+    ref = RocketYeastForcesOnly(**kw)
+    xs = jax.jit(ref._make_xla_step())
+    fx = ref.state
+    for _ in range(7):
+        fx = xs(fx)
+    sh = ShardedCoupled(RocketYeastForcesOnly(**kw),
+                        mesh=make_mesh(4, shape=(4, 1)))
+    sh.run(7)
+    np.testing.assert_allclose(np.asarray(sh._state_model()),
+                               np.asarray(fx), atol=5e-7, rtol=1e-5)
+
+
 def test_sharded_coupled_spectral_parity():
     """Spectral-velocity families sharded: the screened-Poisson solve runs
     globally under GSPMD, the kernel per shard."""

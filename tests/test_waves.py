@@ -93,6 +93,59 @@ def test_dft_bailey_4step_matches_numpy():
         assert np.abs(np.asarray(br) - x).max() < 1e-4
 
 
+def test_dft_bailey_4step_split_path_n4096():
+    """Exercise the actual n1*n2 Bailey factorization (n >= the 4096
+    split threshold) against np.fft on a skinny batch — the 2-D tests
+    above all stay below the threshold."""
+    import jax
+    import jax.numpy as jnp
+    from lb2d_tpu.ops.dft import _fft1_fast, _split_n
+
+    n = 4096
+    assert _split_n(n) is not None  # really takes the split path
+    rng = np.random.RandomState(1)
+    x = rng.rand(4, n).astype(np.float32)
+    fwd = jax.jit(lambda r, i: _fft1_fast(r, i, inverse=False))
+    Xr, Xi = fwd(jnp.asarray(x), jnp.zeros_like(jnp.asarray(x)))
+    ref = np.fft.fft(x, axis=-1)
+    scale = np.abs(ref).max()
+    assert np.abs(np.asarray(Xr) - ref.real).max() / scale < 1e-5
+    assert np.abs(np.asarray(Xi) - ref.imag).max() / scale < 1e-5
+    inv = jax.jit(lambda r, i: _fft1_fast(r, i, inverse=True))
+    br, bi = inv(Xr, Xi)
+    assert np.abs(np.asarray(br) - x).max() < 1e-4
+    assert np.abs(np.asarray(bi)).max() < 1e-4
+
+
+def test_screened_velocity_gradient_nyquist_clean():
+    """The packed one-transform gradient must equal the reference's
+    separate Re(ifft) gradients; with white-noise rho (how config-5
+    densities are initialized) an un-zeroed Nyquist bin leaks a
+    checkerboard ~5% of gradient amplitude into each axis."""
+    import jax.numpy as jnp
+    from lb2d_tpu.models.waves import _ScreenedVelocity
+
+    ny = nx = 64  # even: Nyquist bin exists
+    rng = np.random.RandomState(7)
+    rho = jnp.asarray(rng.rand(ny, nx).astype(np.float32))
+    vel = _ScreenedVelocity(ny, nx, lam=1.0, delta_x=1.0 / nx, vc=1.0,
+                            ulb=1.0, method="fft")
+    u, v = vel(rho)
+    # reference form: two separate transforms, real part only, with the
+    # Nyquist-derivative convention (odd multiplier -> zero at n/2)
+    rescale, ax, ay = vel._fields()
+    chat = jnp.fft.fft2(rho.astype(jnp.complex64)) * rescale
+    xg = jnp.real(jnp.fft.ifft2(chat * (1j * ax)))
+    yg = jnp.real(jnp.fft.ifft2(chat * (1j * ay)))
+    np.testing.assert_allclose(np.asarray(u), vel.scale * np.asarray(xg),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v), vel.scale * np.asarray(yg),
+                               atol=1e-6)
+    # and the Nyquist rows of the multipliers really are zeroed
+    assert float(jnp.abs(vel._gx[nx // 2])) == 0.0
+    assert float(jnp.abs(vel._gy[ny // 2])) == 0.0
+
+
 def test_screened_fisher_kernel_parity():
     """Fused screened-Fisher kernel (spectral velocity as external planes)
     == the XLA step."""
