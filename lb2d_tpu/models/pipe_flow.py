@@ -32,9 +32,11 @@ from ..ops.equilibrium import feq_incompressible, feq_quadratic
 from ..ops.fused import (
     make_fused_pipe_step,
     make_pipelined_pipe_step,
+    make_resident_pipe_step,
     make_temporal_pipe_step,
     supports_fused,
     supports_pipelined,
+    supports_resident,
     supports_temporal,
 )
 from ..ops.moments import hydro_compressible, hydro_incompressible
@@ -102,17 +104,30 @@ class PipeFlow(LBModel):
         )
 
         # Backend selection, fastest first:
-        # - "temporal": 2 LB steps per HBM sweep (no obstacle support yet)
+        # - "resident": whole state in VMEM, the full run in ONE kernel
+        #   launch (small grids; dispatch-overhead-free)
+        # - "temporal": K LB steps per HBM sweep (no obstacle support yet)
         # - "pipelined": single-sweep fused kernel, 1 read + 1 write per step
         # - "fused": blocked kernel with halo-chunk DMAs
         # - "xla": pure-XLA oracle path (any grid/backend)
         self._pad_dims = None
+        has_obst = obstacle_mask is not None
         if backend == "auto":
             on_tpu = jax.default_backend() == "tpu"
             ny_pad = -(-self.ny // 16) * 16
             nx_pad = -(-self.nx // 128) * 128
+            # resident pads only to (8, 128) tiles, cheaper on tiny grids
+            ny_rpad = -(-self.ny // 8) * 8
+            nx_rpad = -(-self.nx // 128) * 128
             if not (on_tpu and self._fused_capable()):
                 backend = "xla"
+            elif supports_resident(self.ny, self.nx, has_obst):
+                backend = "resident"
+            elif supports_resident(ny_rpad, nx_rpad, has_obst):
+                # unaligned small grid: edge-pad (same argument as the
+                # padded temporal path below)
+                backend = "resident"
+                self._pad_dims = (ny_rpad, nx_rpad)
             elif any(supports_temporal(self.ny, self.nx, k)
                      for k in (8, 6, 4, 2)):
                 backend = "temporal"
@@ -144,6 +159,8 @@ class PipeFlow(LBModel):
             self.state = jnp.pad(self.state, ((0, 0), (0, py), (0, px)),
                                  mode="edge")
         super().__init__()
+        if self.backend == "resident":
+            self._install_resident_run()
 
     # --- geometry hooks (overridden by subclasses) ---------------------------
     def _characteristic_length(self, diameter):
@@ -208,6 +225,24 @@ class PipeFlow(LBModel):
 
     def make_step(self):
         backend = getattr(self, "backend", "xla")
+        if backend == "resident":
+            # the resident kernel replaces the whole run loop, not the
+            # single step; _install_resident_run swaps _run_compiled after
+            # LBModel.__init__ builds the default. make_step only provides
+            # the oracle single-step (unused in the hot path).
+            if self._pad_dims is not None:
+                xla = self._make_xla_step()
+                py = self._pad_dims[0] - self.ny
+                px = self._pad_dims[1] - self.nx
+                ny, nx = self.ny, self.nx
+
+                def single(fp):
+                    f = xla(fp[:, :ny, :nx])
+                    return jnp.pad(f, ((0, 0), (0, py), (0, px)),
+                                   mode="edge")
+
+                return single
+            return self._make_xla_step()
         if backend == "temporal":
             return self._make_temporal_step()
         if backend == "pipelined":
@@ -249,6 +284,27 @@ class PipeFlow(LBModel):
             lattice=self.lattice, dtype=self.dtype,
             interpret=jax.default_backend() != "tpu",
         )
+
+    def _install_resident_run(self):
+        """Swap the fori-loop runner for the grid-resident kernel: the
+        whole ``run(n)`` becomes ONE kernel launch with the state in VMEM
+        and ``n`` a runtime scalar (see ``make_resident_pipe_step``)."""
+        has_obstacle = self.obstacle_mask is not None
+        kw = self._kernel_kwargs()
+        if self._pad_dims is not None:
+            kw.update(ny=self._pad_dims[0], nx=self._pad_dims[1],
+                      ny_phys=self.ny, nx_phys=self.nx)
+        run_k = make_resident_pipe_step(has_obstacle=has_obstacle, **kw)
+        if has_obstacle:
+            mask = self.obstacle_mask.astype(jnp.int32)
+            if self._pad_dims is not None:
+                py = self._pad_dims[0] - self.ny
+                px = self._pad_dims[1] - self.nx
+                mask = jnp.pad(mask, ((0, py), (0, px)))
+            self._run_compiled = jax.jit(
+                lambda f, n: run_k(f, n, mask), donate_argnums=0)
+        else:
+            self._run_compiled = jax.jit(run_k, donate_argnums=0)
 
     def _make_temporal_step(self, k_steps=None):
         if k_steps is None:

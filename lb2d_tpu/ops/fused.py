@@ -40,9 +40,11 @@ from ..core.lattice import Lattice, D2Q9
 __all__ = [
     "make_fused_pipe_step",
     "make_pipelined_pipe_step",
+    "make_resident_pipe_step",
     "make_temporal_pipe_step",
     "supports_fused",
     "supports_pipelined",
+    "supports_resident",
     "supports_temporal",
 ]
 
@@ -389,6 +391,56 @@ def _zou_he_inout_narrow(st, rowid, laneid, ny, nx, inlet_rho, outlet_rho,
     # boundary value is constant along lanes, so only its lane-0 (resp.
     # lane nx-1) column is selected. (Narrow-select + concat splice and
     # dynamic_update_slice variants crash / are unimplemented in Mosaic.)
+    row_int = (rowid >= 1) & (rowid <= ny - 2)
+    m_in = (laneid == 0) & row_int
+    m_out = (laneid == nx - 1) & row_int
+    st[1] = jnp.where(m_in, in1[:, :1], st[1])
+    st[5] = jnp.where(m_in, in5[:, :1], st[5])
+    st[8] = jnp.where(m_in, in8[:, :1], st[8])
+    st[3] = jnp.where(m_out, out3[:, col:col + 1], st[3])
+    st[6] = jnp.where(m_out, out6[:, col:col + 1], st[6])
+    st[7] = jnp.where(m_out, out7[:, col:col + 1], st[7])
+    return st
+
+
+def _zou_he_inout_ext(st, rowid, laneid, ny, nx, body_off, W, inlet_rho,
+                      outlet_rho, incompressible):
+    """Zou-He inlet/outlet columns for x-halo-extended tiles (2-D-mesh
+    kernel path): the tile's body lanes sit at ``[body_off, body_off+W)``;
+    ``laneid`` is the GLOBAL lane coordinate. The inlet formulas are
+    evaluated on the first body lane-tile (whose first column is global
+    lane 0 on the shard that owns it; masks are all-false elsewhere), the
+    outlet on the last body lane-tile. Identical formulas to
+    :func:`_zou_he_tile`."""
+    L = 128
+    assert W >= L
+    sL = [p[:, body_off:body_off + L] for p in st]
+    sR = [p[:, body_off + W - L:body_off + W] for p in st]
+    col = L - 1
+
+    if incompressible:
+        u_in = (-sL[0] - sL[2] - 2 * sL[3] - sL[4] - 2 * sL[6] - 2 * sL[7]
+                + inlet_rho)
+        in1 = (1.0 / 3.0) * (3 * sL[3] + 2 * u_in)
+        in5 = (1.0 / 6.0) * (-3 * sL[2] + 3 * sL[4] + 6 * sL[7] + u_in)
+        in8 = (1.0 / 6.0) * (3 * sL[2] - 3 * sL[4] + 6 * sL[6] + u_in)
+        u_out = (sR[0] + 2 * sR[1] + sR[2] + sR[4] + 2 * sR[5] + 2 * sR[8]
+                 - outlet_rho)
+        out3 = (1.0 / 3.0) * (3 * sR[1] - 2 * u_out)
+        out6 = (1.0 / 6.0) * (-3 * sR[2] + 3 * sR[4] + 6 * sR[8] - u_out)
+        out7 = (1.0 / 6.0) * (3 * sR[2] - 3 * sR[4] + 6 * sR[5] - u_out)
+    else:
+        u_in = -((sL[0] + sL[2] + 2 * sL[3] + sL[4] + 2 * sL[6] + 2 * sL[7]
+                  - inlet_rho) / inlet_rho)
+        in1 = sL[3] + (2.0 / 3.0) * inlet_rho * u_in
+        in5 = -0.5 * sL[2] + 0.5 * sL[4] + sL[7] + (1.0 / 6.0) * u_in * inlet_rho
+        in8 = 0.5 * sL[2] - 0.5 * sL[4] + sL[6] + (1.0 / 6.0) * u_in * inlet_rho
+        u_out = (-1.0 + (sR[0] + 2 * sR[1] + sR[2] + sR[4] + 2 * sR[5]
+                         + 2 * sR[8]) / outlet_rho)
+        out3 = sR[1] - (2.0 / 3.0) * outlet_rho * u_out
+        out6 = -0.5 * sR[2] + 0.5 * sR[4] + sR[8] - (1.0 / 6.0) * u_out * outlet_rho
+        out7 = 0.5 * sR[2] - 0.5 * sR[4] + sR[5] - (1.0 / 6.0) * u_out * outlet_rho
+
     row_int = (rowid >= 1) & (rowid <= ny - 2)
     m_in = (laneid == 0) & row_int
     m_out = (laneid == nx - 1) & row_int
@@ -1099,6 +1151,202 @@ def make_temporal_pipe_step(
             return call(f)
 
     return stepK
+
+
+# ---------------------------------------------------------------------------
+# grid-resident kernel: whole state in VMEM, the full run in ONE launch
+# ---------------------------------------------------------------------------
+
+_RES_BUDGET = 100 * 1024 * 1024
+
+
+def supports_resident(ny: int, nx: int, has_obstacle: bool = False,
+                      q: int = 9) -> bool:
+    """Whole-grid VMEM residency (small grids): lane/sublane-aligned dims
+    and ~6x the q-plane state inside the VMEM budget (measured stack peak
+    at 768^2 was 5.5x state -> compile-time OOM; 640^2 is the practical
+    ceiling). Covers grids up to ~640x640."""
+    if nx % 128 or ny % 8 or ny < 8:
+        return False
+    state = q * ny * nx * 4
+    extra = (3 if has_obstacle else 1) * ny * nx * 4
+    return 6 * state + extra <= _RES_BUDGET
+
+
+def make_resident_pipe_step(
+    *,
+    ny: int,
+    nx: int,
+    omega: float,
+    inlet_rho: float = 1.0,
+    outlet_rho: float = 1.0,
+    equilibrium: str = "compressible",
+    has_obstacle: bool = False,
+    lattice: Lattice = D2Q9,
+    dtype=jnp.float32,
+    interpret: bool = False,
+    physics: str = "flow",
+    u_lb: float = 0.0,
+    v_lb: float = 0.0,
+    lb_G: float = 0.0,
+    lb_Dg: float = 0.0,
+    ny_phys: int | None = None,
+    nx_phys: int | None = None,
+    unroll: int | None = None,
+):
+    """Build ``run(f, n[, mask|seed]) -> f`` advancing ``n`` LB steps in a
+    single kernel launch with the whole state resident in VMEM.
+
+    Small grids (the reference's own 32x256 benchmark geometry,
+    ``docs/python_cython_opencl_comparison.ipynb``) are dispatch-bound on
+    the sweep kernels: ~8 us of launch overhead per HBM sweep dwarfs the
+    ~0.3 MB of state. Here the state is read from HBM once, stepped ``n``
+    times entirely out of VMEM (streaming = in-register row/lane shifts,
+    BCs = masked selects, same tile math as the sweep kernels), and written
+    back once — zero HBM traffic and zero dispatch inside the run. ``n`` is
+    a runtime scalar (SMEM), so one compiled executable serves any
+    iteration count.
+    """
+    if not supports_resident(ny, nx, has_obstacle, lattice.q):
+        raise ValueError(f"grid {ny}x{nx} not VMEM-resident-capable")
+    q = lattice.q
+    incompressible = equilibrium == "incompressible"
+    ny_p = ny_phys if ny_phys is not None else ny
+    nx_p = nx_phys if nx_phys is not None else nx
+    assert physics == "flow" or (ny_p == ny and nx_p == nx)
+    assert physics in ("flow", "diffusion", "noisy_fisher", "velocity_inlet")
+    diffusion = physics in ("diffusion", "noisy_fisher")
+    noisy = physics == "noisy_fisher"
+    vel_inlet = physics == "velocity_inlet"
+    w_inlet = np.asarray(inlet_rho, dtype)
+    w_outlet = np.asarray(outlet_rho, dtype)
+    w_omega = np.asarray(omega, dtype)
+    w_ulb = np.asarray(u_lb, dtype)
+    w_vlb = np.asarray(v_lb, dtype)
+    w_G = np.asarray(lb_G, dtype)
+
+    def _shift_y(p, cyj):
+        # full-grid periodic row shift via slice-concat (stale wrap rows are
+        # rewritten by the BCs, exactly as in the sweep kernels)
+        if cyj == 1:
+            return jnp.concatenate([p[ny - 1:ny, :], p[:ny - 1, :]], axis=0)
+        if cyj == -1:
+            return jnp.concatenate([p[1:, :], p[0:1, :]], axis=0)
+        return p
+
+    def kernel(*refs):
+        if noisy:
+            n_ref, f_ref, seed_ref, out_ref = refs
+            mask_ref = None
+        elif has_obstacle:
+            n_ref, f_ref, mask_ref, out_ref = refs
+        else:
+            n_ref, f_ref, out_ref = refs
+            mask_ref = None
+
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
+        laneid = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
+        mask = (mask_ref[:, :] != 0) if has_obstacle else None
+
+        def body(i, planes):
+            st = [
+                _lane_roll(_shift_y(planes[j], lattice.cy[j]),
+                           lattice.cx[j], nx)
+                for j in range(q)
+            ]
+            if diffusion:
+                res = _diffusion_collide(st, w_omega, w_ulb, w_vlb,
+                                         w_G if lb_G else 0.0, lattice)
+                if noisy:
+                    rho = st[0]
+                    for j in range(1, q):
+                        rho = rho + st[j]
+                    if lb_Dg:
+                        # per-step reseed (launch seed ^ step index hash);
+                        # same scheme as the temporal kernel's per-(sweep,
+                        # chunk, stage) seeding, different realization
+                        seed = seed_ref[0, 0] ^ (i * np.int32(-1640531535))
+                        if interpret:
+                            eta = _normal_from_hash(seed, rho.shape)
+                        else:
+                            pltpu.prng_seed(seed)
+                            eta = _normal_from_bits(rho.shape)
+                        noise = jnp.sqrt(
+                            jnp.maximum(lb_Dg * rho * (1.0 - rho), 0.0)) * eta
+                        res = [res[j] + lattice.w[j] * noise
+                               for j in range(q)]
+                    res = [jnp.maximum(r, 0.0) for r in res]
+                return tuple(res)
+            if vel_inlet:
+                st = _velocity_inlet_tile(st, laneid, nx, w_ulb)
+                return tuple(_moments_feq_collide(
+                    st, None, w_omega, lattice, incompressible, False))
+            st = _zou_he_tile(st, rowid, laneid, ny_p, nx_p, w_inlet,
+                              w_outlet, incompressible)
+            return tuple(_moments_feq_collide(
+                st, mask, w_omega, lattice, incompressible,
+                zero_vel_in_obstacle=incompressible))
+
+        planes = tuple(f_ref[j] for j in range(q))
+        # Unroll U steps per loop iteration: grids at the size extremes
+        # are op-latency bound (each [ny, nx] op is a handful of VPU
+        # tiles) and the unrolled body lets Mosaic keep planes in vector
+        # registers across steps. Measured (TPU v5e, MLUPS U=1 -> U=4):
+        # 32x256: 593 -> 3448; 256^2: 12610 -> 3356 (!); 512^2:
+        # 11599 -> 25135. Non-monotone in size, so the auto table is
+        # empirical; pass `unroll` to override.
+        if unroll is not None:
+            U = int(unroll)
+        elif noisy:
+            U = 1
+        elif ny * nx <= 48 * 1024 or ny * nx >= 384 * 1024:
+            U = 4
+        else:
+            U = 1
+        n = n_ref[0, 0]
+        if U > 1:
+            def bodyU(i, pl_):
+                for _ in range(U):
+                    pl_ = body(0, pl_)
+                return pl_
+            planes = jax.lax.fori_loop(0, n // U, bodyU, planes)
+            planes = jax.lax.fori_loop(0, n % U, body, planes)
+        else:
+            planes = jax.lax.fori_loop(0, n, body, planes)
+        for j in range(q):
+            out_ref[j] = planes[j]
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM)]
+    if noisy:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    elif has_obstacle:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((q, ny, nx), dtype),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        input_output_aliases={1: 0},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )
+
+    if noisy:
+        def run(f, n, seed):
+            return call(jnp.asarray(n, jnp.int32).reshape(1, 1), f,
+                        jnp.asarray(seed, jnp.int32).reshape(1, 1))
+    elif has_obstacle:
+        def run(f, n, mask):
+            return call(jnp.asarray(n, jnp.int32).reshape(1, 1), f, mask)
+    else:
+        def run(f, n):
+            return call(jnp.asarray(n, jnp.int32).reshape(1, 1), f)
+
+    return run
 
 
 # ---------------------------------------------------------------------------

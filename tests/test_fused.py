@@ -172,3 +172,60 @@ def test_padded_temporal_matches_xla():
     d2 = float(np.abs(np.asarray(fa2)
                       - np.asarray(b.state)[:, :150, :200]).max())
     assert d2 < 1e-6, d2
+
+
+def test_resident_kernel_matches_xla():
+    """Grid-resident kernel (whole state in VMEM, n steps per launch)
+    == n applications of the XLA step, including Zou-He + walls/corners."""
+    from lb2d_tpu.ops.fused import make_resident_pipe_step, supports_resident
+
+    assert supports_resident(32, 128)
+    assert not supports_resident(31, 128)      # sublane-unaligned
+    assert not supports_resident(4096, 4096)   # too big for VMEM
+    sim = _sim()
+    res = make_resident_pipe_step(
+        ny=sim.ny, nx=sim.nx, omega=sim.omega, inlet_rho=sim.inlet_rho,
+        outlet_rho=sim.outlet_rho, interpret=True)
+    step = sim.make_step()
+    f = sim.state
+    for _ in range(5):
+        f = step(f)
+    out = res(sim.state, 5)
+    d = float(np.abs(np.asarray(out) - np.asarray(f)).max())
+    assert d < 5e-7, d
+    # n = 0 is the warm-up path: must be identity
+    out0 = res(sim.state, 0)
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(sim.state))
+
+
+def test_resident_kernel_obstacle_and_incompressible():
+    from lb2d_tpu.ops.fused import make_resident_pipe_step
+    import jax.numpy as jnp
+
+    mask = np.zeros((32, 128), np.int32)
+    mask[10:20, 40:60] = 1
+    sim = _sim(obstacle_mask=mask, equilibrium="incompressible")
+    res = make_resident_pipe_step(
+        ny=sim.ny, nx=sim.nx, omega=sim.omega, inlet_rho=sim.inlet_rho,
+        outlet_rho=sim.outlet_rho, equilibrium="incompressible",
+        has_obstacle=True, interpret=True)
+    step = sim.make_step()
+    f = sim.state
+    for _ in range(4):
+        f = step(f)
+    out = res(sim.state, 4, jnp.asarray(mask))
+    d = float(np.abs(np.asarray(out) - np.asarray(f)).max())
+    assert d < 5e-7, d
+
+
+def test_resident_backend_end_to_end():
+    """backend='resident' through the model API: run(n) is one launch and
+    matches the XLA backend bit-close."""
+    a = _sim()
+    b = PipeFlow(N=31, pipe_length=(128 - 1.5) / 31, backend="resident",
+                 **PHYS)
+    a.run(7)
+    b.run(7)
+    assert b.steps_taken == 7
+    d = float(np.abs(np.asarray(a.state) - np.asarray(b.state)).max())
+    assert d < 1e-6, d
