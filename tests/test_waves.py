@@ -162,3 +162,72 @@ def test_screened_fisher_kernel_parity():
         fk = ks(fk)
     np.testing.assert_allclose(np.asarray(fk), np.asarray(fx),
                                atol=5e-7, rtol=1e-5)
+
+
+def test_screened_gradients_mm_matches_numpy():
+    """Fused half-spectrum solver (real fwd + packed inverse, transpose-free
+    axis-0 passes) == numpy oracle at square and non-square sizes."""
+    import jax
+    import jax.numpy as jnp
+    from lb2d_tpu.ops.dft import screened_gradients_mm
+
+    rng = np.random.RandomState(0)
+    for (ny, nx) in ((128, 128), (256, 128), (64, 256)):
+        rho = rng.rand(ny, nx).astype(np.float32)
+        fx = (np.fft.fftfreq(nx) * nx).astype(np.float32)
+        fy = (np.fft.fftfreq(ny) * ny).astype(np.float32)
+        gx = fx.copy(); gx[nx // 2] = 0.0
+        gy = fy.copy(); gy[ny // 2] = 0.0
+        lam2 = np.float32(0.25)
+        xg, yg = jax.jit(lambda r: screened_gradients_mm(
+            r, jnp.asarray(fx), jnp.asarray(fy), jnp.asarray(gx),
+            jnp.asarray(gy), lam2))(jnp.asarray(rho))
+        s = 1.0 / (lam2 * (fx[None, :]**2 + fy[:, None]**2) + 1.0)
+        chat = np.fft.fft2(rho) * s
+        xg_ref = np.real(np.fft.ifft2(chat * (2j * np.pi) * gx[None, :]))
+        yg_ref = np.real(np.fft.ifft2(chat * (2j * np.pi) * gy[:, None]))
+        sc = max(np.abs(xg_ref).max(), np.abs(yg_ref).max())
+        assert np.abs(np.asarray(xg) - xg_ref).max() / sc < 1e-4
+        assert np.abs(np.asarray(yg) - yg_ref).max() / sc < 1e-4
+
+
+def test_screened_velocity_fast_path_matches_fft():
+    """_ScreenedVelocity's fused matmul path == its fft path."""
+    import jax.numpy as jnp
+    from lb2d_tpu.models.waves import _ScreenedVelocity
+
+    ny = nx = 64
+    rng = np.random.RandomState(3)
+    rho = jnp.asarray(rng.rand(ny, nx).astype(np.float32))
+    kw = dict(lam=0.7, delta_x=1.0 / nx, vc=1.3, ulb=0.01)
+    v_fft = _ScreenedVelocity(ny, nx, method="fft", **kw)
+    v_mm = _ScreenedVelocity(ny, nx, method="matmul", **kw)
+    u1, w1 = v_fft(rho)
+    u2, w2 = v_mm(rho)
+    sc = float(np.abs(np.asarray(u1)).max()) + 1e-12
+    assert np.abs(np.asarray(u1) - np.asarray(u2)).max() / sc < 1e-4
+    assert np.abs(np.asarray(w1) - np.asarray(w2)).max() / sc < 1e-4
+
+
+def test_repelling_fisher_reuse_tolerance():
+    """Potential reuse: tiny tolerance tracks the exact (always-solve)
+    model; huge tolerance freezes the potential after the first solve."""
+    kw = dict(Lx=1.0, Ly=1.0, E=2.0, R0=0.25, N=24, max_inner_iter=60,
+              inner_tolerance=1e-4)
+    exact = RepellingFisherWave(**kw)
+    loose = RepellingFisherWave(reuse_tolerance=1e-4, **kw)
+    frozen = RepellingFisherWave(reuse_tolerance=1e9, **kw)
+    exact.run(30)
+    loose.run(30)
+    frozen.run(30)
+    re_ = exact.get_fields()["rho"]
+    rl = loose.get_fields()["rho"]
+    sc = np.abs(re_).max()
+    # tiny tolerance: fields stay close to exact over the horizon
+    assert np.abs(re_ - rl).max() / sc < 5e-3, np.abs(re_ - rl).max() / sc
+    # huge tolerance: the very first step solves (rho_ref starts at -1,
+    # drift is large), afterwards the potential never updates
+    pu_after_1 = RepellingFisherWave(reuse_tolerance=1e9, **kw)
+    pu_after_1.run(1)
+    np.testing.assert_array_equal(np.asarray(frozen.state[2]),
+                                  np.asarray(pu_after_1.state[2]))
