@@ -46,6 +46,7 @@ from .fused import (
     _normal_from_hash,
     _velocity_inlet_tile,
     _walls_corners_tile,
+    _zou_he_inout_ext,
     _zou_he_inout_narrow,
 )
 
@@ -113,6 +114,8 @@ def make_temporal_halo_step(
     lb_Gs=None,
     lb_Dgs=None,
     cutoff: float = 0.01,
+    x_ext: int = 0,
+    W: int | None = None,
 ):
     """Build ``stepK(f_loc, top_halo, bot_halo, y0 [, seed]) -> f_loc``
     advancing one y-shard by ``k_steps`` LB steps.
@@ -127,13 +130,27 @@ def make_temporal_halo_step(
 
     ``k_steps=1`` degenerates to a halo'd single-sweep pipelined kernel
     (no intermediate rings).
+
+    **2-D meshes** (``x_ext=128``): the shard's body is ``W`` lanes wide and
+    every input arrives x-halo-extended to ``W + 2*x_ext`` lanes (the
+    caller ppermutes 128-lane strips from the x-neighbors — of the
+    y-extended arrays, so diagonal corners ride along). Lane rolls wrap at
+    the extended width; the wrap corruption creeps one lane per internal
+    stage from each strip edge, so the stored body lanes (offset 128)
+    stay exact while ``K <= 128``. The extra SMEM scalar ``x0`` is the
+    shard's global first body lane. Flow + diffusion physics only.
     """
     K = int(k_steps)
     assert K >= 1
     F = int(num_fields)
-    CH = chunk if chunk is not None else pick_halo_chunk(H, nx, K, F)
+    BX = int(x_ext)
+    W = int(W) if W is not None else nx
+    nxE = W + 2 * BX                 # kernel working width
+    if BX:
+        assert BX == 128 and W % 128 == 0 and W >= 128 and K <= BX
+    CH = chunk if chunk is not None else pick_halo_chunk(H, nxE, K, F)
     if CH is None or K > CH or H % CH:
-        raise ValueError(f"no halo-temporal tiling for shard {H}x{nx}, K={K}")
+        raise ValueError(f"no halo-temporal tiling for shard {H}x{nxE}, K={K}")
     C = H // CH        # stored chunks
     V = C + 2          # virtual chunks: halo, C body chunks, halo
     assert V >= max(_NS, 3 + K), (V, K)
@@ -143,6 +160,9 @@ def make_temporal_halo_step(
                        "multifield_fisher", "multifield_expansion")
     mf = physics.startswith("multifield")
     assert (F > 1) == mf
+    if BX:
+        assert physics in ("flow", "diffusion", "noisy_fisher"), (
+            "x-extended kernel supports flow/diffusion physics only")
     P = q * F
     diffusion = physics in ("diffusion", "noisy_fisher")
     if mf:
@@ -167,7 +187,15 @@ def make_temporal_halo_step(
     w_G = np.asarray(lb_G, dtype)
 
     def kernel(*refs):
-        if noisy:
+        x0_ref = None
+        if BX and noisy:
+            f_hbm, top_hbm, bot_hbm, y0_ref, x0_ref, seed_ref, out_hbm = refs[:7]
+            rest = refs[7:]
+        elif BX:
+            f_hbm, top_hbm, bot_hbm, y0_ref, x0_ref, out_hbm = refs[:6]
+            seed_ref = None
+            rest = refs[6:]
+        elif noisy:
             f_hbm, top_hbm, bot_hbm, y0_ref, seed_ref, out_hbm = refs[:6]
             rest = refs[6:]
         else:
@@ -180,8 +208,11 @@ def make_temporal_halo_step(
         sem_in, sem_out = rest[K + 1:]
 
         y0 = y0_ref[0, 0]
-        laneid = jax.lax.broadcasted_iota(jnp.int32, (CH, nx), 1)
-        rowid0 = jax.lax.broadcasted_iota(jnp.int32, (CH, nx), 0)
+        laneid = jax.lax.broadcasted_iota(jnp.int32, (CH, nxE), 1)
+        if BX:
+            # global lane coordinate of each extended-tile lane
+            laneid = laneid + (x0_ref[0, 0] - BX)
+        rowid0 = jax.lax.broadcasted_iota(jnp.int32, (CH, nxE), 0)
 
         def load(c):
             """Start the DMA for virtual chunk c: 0 -> top halo, 1..C ->
@@ -239,7 +270,7 @@ def make_temporal_halo_step(
                          ring[nxt, pi, 0:1, :]], axis=0)
                 else:
                     rows = ring[cur, pi, :, :]
-                return _lane_roll(rows, cxj, nx)
+                return _lane_roll(rows, cxj, nxE)
 
             if mf:
                 st = [[streamed(j * F + p, lattice.cx[j], lattice.cy[j])
@@ -301,8 +332,12 @@ def make_temporal_halo_step(
                 return _moments_feq_collide(st, None, w_omega, lattice,
                                             incompressible, False)
             rowid = rowid0 + ((c - 1) * CH + y0)
-            st = _zou_he_inout_narrow(st, rowid, laneid, ny, nx, w_inlet,
-                                      w_outlet, incompressible)
+            if BX:
+                st = _zou_he_inout_ext(st, rowid, laneid, ny, nx, BX, W,
+                                       w_inlet, w_outlet, incompressible)
+            else:
+                st = _zou_he_inout_narrow(st, rowid, laneid, ny, nx, w_inlet,
+                                          w_outlet, incompressible)
             st = _walls_corners_tile(st, rowid, laneid, ny, nx, w_inlet,
                                      w_outlet)
             return _moments_feq_collide(st, None, w_omega, lattice,
@@ -329,7 +364,9 @@ def make_temporal_halo_step(
                     store(c - _NO).wait()
 
                 for pi in range(P):
-                    out_ring[c % _NO, pi, :, :] = res[pi]
+                    # x-extended tiles store body lanes only
+                    out_ring[c % _NO, pi, :, :] = (
+                        res[pi][:, BX:BX + W] if BX else res[pi])
                 store(c).start()
 
         def body(k, _):
@@ -377,26 +414,28 @@ def make_temporal_halo_step(
             store(C - 1).wait()
         store(C).wait()
 
-    scratch = [pltpu.VMEM((_NS, P, CH, nx), dtype)]
-    scratch += [pltpu.VMEM((_NM, P, CH, nx), dtype) for _ in range(K - 1)]
-    scratch += [pltpu.VMEM((_NO, P, CH, nx), dtype)]
+    scratch = [pltpu.VMEM((_NS, P, CH, nxE), dtype)]
+    scratch += [pltpu.VMEM((_NM, P, CH, nxE), dtype) for _ in range(K - 1)]
+    scratch += [pltpu.VMEM((_NO, P, CH, W), dtype)]
     scratch += [
         pltpu.SemaphoreType.DMA((_NS,)),
         pltpu.SemaphoreType.DMA((_NO,)),
     ]
 
     in_specs = [
-        pl.BlockSpec(memory_space=pl.ANY),      # f_loc
+        pl.BlockSpec(memory_space=pl.ANY),      # f_loc (x-extended if BX)
         pl.BlockSpec(memory_space=pl.ANY),      # top halo chunk
         pl.BlockSpec(memory_space=pl.ANY),      # bottom halo chunk
         pl.BlockSpec(memory_space=pltpu.SMEM),  # y0
     ]
+    if BX:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # x0
     if noisy:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # seed
 
     call = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((P, H, nx), dtype),
+        out_shape=jax.ShapeDtypeStruct((P, H, W), dtype),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=scratch,
@@ -405,13 +444,19 @@ def make_temporal_halo_step(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=220 * K * F * H * nx,
-            bytes_accessed=2 * P * H * nx * 4,
+            flops=220 * K * F * H * nxE,
+            bytes_accessed=2 * P * H * nxE * 4,
             transcendentals=0,
         ),
     )
 
-    if noisy:
+    if BX and noisy:
+        def stepK(f_loc, top_halo, bot_halo, y0, x0, seed):
+            return call(f_loc, top_halo, bot_halo, y0, x0, seed)
+    elif BX:
+        def stepK(f_loc, top_halo, bot_halo, y0, x0):
+            return call(f_loc, top_halo, bot_halo, y0, x0)
+    elif noisy:
         def stepK(f_loc, top_halo, bot_halo, y0, seed):
             return call(f_loc, top_halo, bot_halo, y0, seed)
     else:

@@ -145,25 +145,43 @@ def make_sharded_temporal_step(
     full single-chip fast path (``ops/fused_halo.py``) inside the
     distributed program, instead of the slow XLA roll path.
 
-    Requires a 1-D y decomposition (``mesh.shape["x"] == 1``): lane (x)
-    rolls wrap within the full row. Returns ``(stepK, sharding, K)``.
+    2-D meshes (``mesh.shape["x"] > 1``) run the x-extended kernel: each
+    shard's body (``W = nx/mx`` lanes) is extended with one 128-lane strip
+    ppermuted from each x-neighbor — strips are cut from the *y-extended*
+    arrays, so diagonal corners arrive in two hops (same scheme as
+    :func:`lb2d_tpu.parallel.halo.extend_with_halo`). Returns
+    ``(stepK, sharding, K)``.
     """
     my, mx = mesh.shape["y"], mesh.shape["x"]
-    if mx != 1:
-        raise ValueError("temporal sharded step needs an x-unsharded mesh")
     if ny % my:
         raise ValueError(f"ny={ny} must divide mesh y={my}")
+    if nx % mx:
+        raise ValueError(f"nx={nx} must divide mesh x={mx}")
     H = ny // my
+    W = nx // mx
+    BX = 128 if mx > 1 else 0
+    if BX and (W % 128 or W < 128):
+        raise ValueError(f"x-sharded kernel needs 128-aligned W, got {W}")
+    WE = W + 2 * BX
     if k_steps is None:
         k_steps = next((k for k in (8, 6, 4, 2, 1)
-                        if supports_temporal_halo(H, nx, k)), None)
+                        if supports_temporal_halo(H, WE, k)), None)
         if k_steps is None:
-            raise ValueError(f"no halo-temporal tiling for shard {H}x{nx}")
+            raise ValueError(f"no halo-temporal tiling for shard {H}x{WE}")
     kernel = make_temporal_halo_step(
         ny=ny, nx=nx, H=H, omega=omega, inlet_rho=inlet_rho,
         outlet_rho=outlet_rho, equilibrium=equilibrium, lattice=lattice,
-        dtype=dtype, interpret=interpret, k_steps=k_steps)
+        dtype=dtype, interpret=interpret, k_steps=k_steps,
+        x_ext=BX, W=W if BX else None)
     CH = kernel.chunk
+
+    def _x_extend(arr):
+        """[q, rows, W] -> [q, rows, W + 256] with x-neighbor strips."""
+        left = arr[:, :, W - 128:]   # my last lanes -> next shard's left
+        right = arr[:, :, :128]      # my first lanes -> prev shard's right
+        left = _ring_shift(left, "x", +1)    # receive from prev x
+        right = _ring_shift(right, "x", -1)  # receive from next x
+        return jnp.concatenate([left, arr, right], axis=2)
 
     def local_step(f_loc):
         top = f_loc[:, H - CH:, :]   # my last rows -> next shard's top halo
@@ -172,7 +190,15 @@ def make_sharded_temporal_step(
             top = _ring_shift(top, "y", +1)   # receive from prev y
             bot = _ring_shift(bot, "y", -1)   # receive from next y
         y0 = (jax.lax.axis_index("y") * H).astype(jnp.int32).reshape(1, 1)
-        return kernel(f_loc, top, bot, y0)
+        if not BX:
+            return kernel(f_loc, top, bot, y0)
+        # x strips cut AFTER the y exchange so the halo chunks' corner
+        # lanes carry the diagonal neighbors' data
+        f_ext = _x_extend(f_loc)
+        top = _x_extend(top)
+        bot = _x_extend(bot)
+        x0 = (jax.lax.axis_index("x") * W).astype(jnp.int32).reshape(1, 1)
+        return kernel(f_ext, top, bot, y0, x0)
 
     f_spec = P(None, "y", "x")
     # check_vma=False: pallas_call outputs carry no varying-across-mesh
@@ -209,13 +235,17 @@ class ShardedDiffusion:
         self.mesh = mesh if mesh is not None else make_mesh()
         my = dict(self.mesh.shape)["y"]
         mx = dict(self.mesh.shape).get("x", 1)
-        if mx != 1:
-            raise ValueError("ShardedDiffusion needs an x-unsharded mesh "
-                             "(lane rolls wrap whole rows)")
         ny, nx = base.ny, base.nx
         if ny % my:
             raise ValueError(f"ny={ny} must divide mesh y={my}")
+        if nx % mx:
+            raise ValueError(f"nx={nx} must divide mesh x={mx}")
         H = ny // my
+        W = nx // mx
+        BX = 128 if mx > 1 else 0
+        if BX and (W % 128 or W < 128):
+            raise ValueError(f"x-sharded kernel needs 128-aligned W, got {W}")
+        WE = W + 2 * BX
         self.nx, self.ny = nx, ny
         self.num_cells = base.num_cells
         self.noisy = hasattr(base, "Dg")
@@ -225,10 +255,10 @@ class ShardedDiffusion:
                                       supports_temporal_halo)
         if k_steps is None:
             k_steps = next((k for k in (8, 6, 4, 2, 1)
-                            if supports_temporal_halo(H, nx, k)), None)
+                            if supports_temporal_halo(H, WE, k)), None)
             if k_steps is None:
                 raise ValueError(
-                    f"no halo-temporal tiling for shard {H}x{nx}")
+                    f"no halo-temporal tiling for shard {H}x{WE}")
         self.steps_per_call = k_steps
         u_lb = float(np.asarray(base.u).ravel()[0])
         v_lb = float(np.asarray(base.v).ravel()[0])
@@ -237,16 +267,24 @@ class ShardedDiffusion:
             physics="noisy_fisher" if self.noisy else "diffusion",
             u_lb=u_lb, v_lb=v_lb, lb_G=float(base._lb_G()),
             lb_Dg=float(getattr(base, "Dg", 0.0)),
-            dtype=base.dtype, interpret=interpret, k_steps=k_steps)
+            dtype=base.dtype, interpret=interpret, k_steps=k_steps,
+            x_ext=BX, W=W if BX else None)
         CH = kernel.chunk
 
-        f_spec = P(None, "y", None)
+        f_spec = P(None, "y", "x" if mx > 1 else None)
         self._sharding = NamedSharding(self.mesh, f_spec)
         if self.noisy:
             f0, key = base.state
             self.state = (jax.device_put(f0, self._sharding), key)
         else:
             self.state = jax.device_put(base.state, self._sharding)
+
+        def _x_extend(arr):
+            left = arr[:, :, W - 128:]
+            right = arr[:, :, :128]
+            left = _ring_shift(left, "x", +1)
+            right = _ring_shift(right, "x", -1)
+            return jnp.concatenate([left, arr, right], axis=2)
 
         def local_step(f_loc, *seed):
             top = f_loc[:, H - CH:, :]
@@ -255,14 +293,24 @@ class ShardedDiffusion:
                 top = _ring_shift(top, "y", +1)
                 bot = _ring_shift(bot, "y", -1)
             y0 = (jax.lax.axis_index("y") * H).astype(jnp.int32)
+            args = ()
+            if BX:
+                f_loc = _x_extend(f_loc)
+                top = _x_extend(top)
+                bot = _x_extend(bot)
+                x0 = (jax.lax.axis_index("x") * W).astype(jnp.int32)
+                args = (x0.reshape(1, 1),)
             if self.noisy:
                 # decorrelate shards: fold the shard index into the sweep
                 # seed (the kernel further mixes in chunk and stage)
-                s = seed[0] ^ (jax.lax.axis_index("y").astype(jnp.int32)
-                               * np.int32(-1640531535))
-                return kernel(f_loc, top, bot, y0.reshape(1, 1),
+                sidx = jax.lax.axis_index("y").astype(jnp.int32)
+                if mx > 1:
+                    sidx = sidx * mx + jax.lax.axis_index("x").astype(
+                        jnp.int32)
+                s = seed[0] ^ (sidx * np.int32(-1640531535))
+                return kernel(f_loc, top, bot, y0.reshape(1, 1), *args,
                               s.reshape(1, 1))
-            return kernel(f_loc, top, bot, y0.reshape(1, 1))
+            return kernel(f_loc, top, bot, y0.reshape(1, 1), *args)
 
         if self.noisy:
             sm = jax.shard_map(local_step, mesh=self.mesh,
@@ -675,11 +723,12 @@ class ShardedPipeFlow:
         self.steps_per_call = 1
 
         interpret = jax.default_backend() != "tpu"
+        WE = self.nx // mx + (256 if mx > 1 else 0)
         can_temporal = (
-            mx == 1 and base.obstacle_mask is None
-            and self.ny % my == 0
-            and supports_temporal_halo(self.ny // my, self.nx,
-                                       k_steps or 1))
+            base.obstacle_mask is None
+            and self.ny % my == 0 and self.nx % mx == 0
+            and (mx == 1 or (self.nx // mx) % 128 == 0)
+            and supports_temporal_halo(self.ny // my, WE, k_steps or 1))
         if backend == "auto":
             backend = "temporal" if can_temporal else "xla"
         self.backend = backend
