@@ -4,7 +4,10 @@ The reference has no checkpointing; its closest analogue is
 ``get_fields()``'s full device->host dump, which (because it includes ``f``)
 *is* a complete restart state (``opencl_dim.py:390-415``, SURVEY.md §5).
 Here: any model state pytree (populations + RNG keys + aux fields) saves to
-a single ``.npz`` with its tree structure, and restores onto any backend.
+a single ``.npz`` that is **self-describing** — the container structure
+(nested dict/list/tuple/None) is serialized alongside the leaves, so
+``load_state(path)`` reconstructs the exact pytree with no ``like``
+template.
 """
 
 from __future__ import annotations
@@ -17,13 +20,44 @@ import numpy as np
 __all__ = ["save_state", "load_state", "save_model", "restore_model"]
 
 
+def _describe(obj, leaves: list):
+    """Recursively describe a pytree of dict/list/tuple/None containers,
+    appending leaf arrays to ``leaves`` in traversal order."""
+    if obj is None:
+        return {"t": "none"}
+    if isinstance(obj, dict):
+        return {"t": "dict",
+                "keys": list(obj.keys()),
+                "vals": [_describe(v, leaves) for v in obj.values()]}
+    if isinstance(obj, (list, tuple)):
+        return {"t": "list" if isinstance(obj, list) else "tuple",
+                "items": [_describe(v, leaves) for v in obj]}
+    i = len(leaves)
+    leaves.append(obj)
+    return {"t": "leaf", "i": i}
+
+
+def _rebuild(desc, leaves):
+    t = desc["t"]
+    if t == "none":
+        return None
+    if t == "dict":
+        return {k: _rebuild(v, leaves)
+                for k, v in zip(desc["keys"], desc["vals"])}
+    if t in ("list", "tuple"):
+        seq = [_rebuild(v, leaves) for v in desc["items"]]
+        return seq if t == "list" else tuple(seq)
+    return leaves[desc["i"]]
+
+
 def save_state(path: str, state) -> None:
-    """Save a pytree of arrays to ``path`` (.npz) with its treedef."""
-    leaves, treedef = jax.tree_util.tree_flatten(state)
+    """Save a pytree of arrays to ``path`` (.npz) with its structure."""
+    leaves: list = []
+    desc = _describe(state, leaves)
     arrays = {f"leaf_{i}": np.asarray(jax.device_get(x))
               for i, x in enumerate(leaves)}
-    arrays["__treedef__"] = np.frombuffer(
-        json.dumps(str(treedef)).encode(), dtype=np.uint8)
+    arrays["__structure__"] = np.frombuffer(
+        json.dumps(desc).encode(), dtype=np.uint8)
     arrays["__num_leaves__"] = np.asarray(len(leaves))
     np.savez(path, **arrays)
 
@@ -31,21 +65,36 @@ def save_state(path: str, state) -> None:
 def load_state(path: str, like=None):
     """Load a pytree saved by :func:`save_state`.
 
-    If ``like`` (an example pytree with the same structure) is given, the
-    saved leaves are unflattened into that structure (and cast to the
-    example's dtypes); otherwise a flat list of arrays is returned.
+    Returns the reconstructed pytree (structure read from the file). If
+    ``like`` (an example pytree with the same structure) is given, the
+    loaded leaves are additionally cast to the example leaves' dtypes.
+    Legacy checkpoints without the structure record return a flat leaf
+    list (or unflatten into ``like`` when provided).
     """
     with np.load(path) as data:
         n = int(data["__num_leaves__"])
         leaves = [data[f"leaf_{i}"] for i in range(n)]
-    if like is None:
-        return leaves
-    like_leaves, treedef = jax.tree_util.tree_flatten(like)
-    assert len(like_leaves) == len(leaves), (
-        f"checkpoint has {len(leaves)} leaves, expected {len(like_leaves)}")
-    cast = [np.asarray(a, dtype=np.asarray(b).dtype)
-            for a, b in zip(leaves, like_leaves)]
-    return jax.tree_util.tree_unflatten(treedef, cast)
+        desc = None
+        if "__structure__" in data:
+            desc = json.loads(bytes(data["__structure__"]).decode())
+
+    if like is not None:
+        like_leaves, treedef = jax.tree_util.tree_flatten(like)
+        assert len(like_leaves) == len(leaves), (
+            f"checkpoint has {len(leaves)} leaves, "
+            f"expected {len(like_leaves)}")
+        if desc is not None:
+            # match leaf order to the template's flatten order (dicts
+            # flatten key-sorted; the file records traversal order)
+            rebuilt = _rebuild(desc, leaves)
+            leaves = jax.tree_util.tree_flatten(rebuilt)[0]
+        cast = [np.asarray(a, dtype=np.asarray(b).dtype)
+                for a, b in zip(leaves, like_leaves)]
+        return jax.tree_util.tree_unflatten(treedef, cast)
+
+    if desc is None:
+        return leaves  # legacy format: structure unknown
+    return _rebuild(desc, leaves)
 
 
 def save_model(path: str, model) -> None:

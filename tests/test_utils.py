@@ -166,3 +166,38 @@ def test_field_animator_multifield():
     assert frame.dtype == np.uint8
     assert frame.ndim == 3 and frame.shape[-1] in (3, 4)
     assert sim.steps_taken == 5
+
+
+def test_checkpoint_self_describing_no_template():
+    """load_state(path) with NO `like` template reconstructs the full
+    pytree structure (nested tuple/dict/None) from the file itself."""
+    from lb2d_tpu.utils.checkpoint import load_state, save_state
+
+    state = (np.arange(6, dtype=np.float32).reshape(2, 3),
+             {"key": np.asarray([1, 2], np.int32),
+              "aux": (np.float32(3.5), None)})
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt.npz")
+        save_state(path, state)
+        out = load_state(path)
+    assert isinstance(out, tuple) and isinstance(out[1], dict)
+    np.testing.assert_array_equal(out[0], state[0])
+    np.testing.assert_array_equal(out[1]["key"], state[1]["key"])
+    assert float(out[1]["aux"][0]) == 3.5
+    assert out[1]["aux"][1] is None
+
+
+def test_checkpoint_model_roundtrip_no_template():
+    from lb2d_tpu.models.diffusion import ReactionAdvectionDiffusionStochastic
+    from lb2d_tpu.utils.checkpoint import load_state, save_state
+
+    sim = ReactionAdvectionDiffusionStochastic(
+        N=15, g=1.0, Dg=1e-4, z=0.1, D=1.0, vx=0.0, vy=0.0, vc=1.0,
+        Lx=0.3, Ly=0.3)
+    sim.run(5)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt.npz")
+        save_state(path, sim.state)
+        out = load_state(path)
+    assert isinstance(out, tuple) and len(out) == len(sim.state)
+    np.testing.assert_array_equal(out[0], np.asarray(sim.state[0]))
