@@ -86,7 +86,11 @@ def main(steps=200, big=False):
         ("ScreenedFisherWave", lambda: M.ScreenedFisherWave(
             Lx=1.0, Ly=1.0, vc=1.0, lam=0.5, R0=0.2, N=512 if big else 48)),
         ("RepellingFisherWave", lambda: M.RepellingFisherWave(
-            Lx=1.0, Ly=1.0, E=2.0, R0=0.25, N=24, max_inner_iter=60)),
+            Lx=1.0, Ly=1.0, E=2.0, R0=0.25, N=128 if big else 24,
+            max_inner_iter=60,
+            # amortize the nested solve: reuse the converged potential
+            # until mean |drho| drifts past 0.2% of mean rho
+            reuse_tolerance=2e-3 if big else 0.0)),
         ("FisherExpansion", lambda: M.FisherExpansion(
             Lx=4.1, Ly=4.1, mu_standard=1.0, mu_list=[1.0, 0.8],
             D_standard=1.0, D_list=[1.0, 1.2], N=511 if big else 63,
