@@ -364,3 +364,28 @@ def test_zero_gradient_bc_gspmd_safe():
     a = jax.jit(lambda x: _zero_gradient_bcs(x, 0))(fs)
     b = _zero_gradient_bcs(f, 0)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fp32_long_horizon_conservation():
+    """fp32 fidelity pin (the reference hard-requires fp64 for this engine,
+    single_component.cl:1-7): over a 2000-step horizon of the config-5-like
+    workload, fp32 keeps total mass to ~1e-5 relative and fields finite.
+    The full 10k-step fp32-vs-fp64 drift table lives in benchmarks/
+    fp64_drift.py (measured max relative drift ~1e-5 at 10k steps)."""
+    sim = _runner(C=2, porous=True, nx=64, ny=64)
+    for i in range(2):
+        sim.add_fluid(Fluid(sim, i, nu_e=1.0 / 6.0, epsilon=0.8,
+                            nu_fluid=1.0 / 6.0, K=10.0, Fe=0.1))
+    sim.complete_setup()
+    rng = np.random.RandomState(0)
+    base = 0.5 + 0.05 * rng.rand(64, 64)
+    sim.fluid_list[0].initialize(base)
+    sim.fluid_list[1].initialize(1.0 - base)
+    sim.add_interaction_force(0, 1, G_int=1.5, potential="shan_chen",
+                              potential_parameters=[1.0])
+    mass0 = float(np.asarray(sim.rho).sum())
+    sim.run(2000)
+    rho = np.asarray(sim.rho)
+    assert np.isfinite(rho).all()
+    mass = float(rho.sum())
+    assert abs(mass - mass0) / abs(mass0) < 1e-4, (mass, mass0)
