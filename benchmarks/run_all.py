@@ -32,14 +32,27 @@ def _sync(x):
     float(jnp.sum(jnp.ravel(leaf)[:64].astype(jnp.float32)))
 
 
-def _measure(model, steps):
+def _spread(rates):
+    rates = sorted(rates)
+    return rates[len(rates) // 2], {"min": round(rates[0], 1),
+                                    "max": round(rates[-1], 1),
+                                    "reps": len(rates)}
+
+
+def _measure(model, steps, reps=5):
+    """Median of `reps` timed runs (compile/warm-up excluded), with min/max
+    dispersion — single measurements on a shared container are too noisy to
+    distinguish a 30% regression from load (RESULTS.md round-2 notes)."""
     model.run(max(2, steps // 10))
     _sync(model.state if hasattr(model, "state") else model.f)
-    t0 = time.perf_counter()
-    model.run(steps)
-    _sync(model.state if hasattr(model, "state") else model.f)
-    dt = time.perf_counter() - t0
-    return model.num_cells * steps / dt / 1e6
+    rates = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        model.run(steps)
+        _sync(model.state if hasattr(model, "state") else model.f)
+        dt = time.perf_counter() - t0
+        rates.append(model.num_cells * steps / dt / 1e6)
+    return _spread(rates)
 
 
 def bench_poiseuille(quick):
@@ -124,9 +137,14 @@ def bench_porous_poisson_8192(quick):
                                    amplitude=1e-4)
     sim.shard_over(mesh)
     steps = 3 if quick else 10
-    sim.run(steps, timed=True)
+    sim.run(steps, timed=True)  # warm (compile both paths)
+    rates = []
+    for _ in range(2 if quick else 5):
+        sim.run(steps, timed=True)
+        rates.append(sim.last_mlups)
+    med, spread = _spread(rates)
     return (f"porous+poisson {size}^2 2-fluid mesh={n_dev}dev",
-            sim.last_mlups, sim.backend_used)
+            (med, spread), sim.backend_used)
 
 
 def bench_sharded_8192(quick):
@@ -144,13 +162,16 @@ def bench_sharded_8192(quick):
     # the temporal halo kernel) and a remainder-sized call (XLA step)
     sim.run(sim.steps_per_call + 2 if sim.steps_per_call > 1 else 2)
     _sync(sim.state)
-    t0 = time.perf_counter()
-    sim.run(steps)
-    _sync(sim.state)
-    dt = time.perf_counter() - t0
-    mlups = sim.num_cells * steps / dt / 1e6
+    rates = []
+    for _ in range(2 if quick else 5):
+        t0 = time.perf_counter()
+        sim.run(steps)
+        _sync(sim.state)
+        dt = time.perf_counter() - t0
+        rates.append(sim.num_cells * steps / dt / 1e6)
+    med, spread = _spread(rates)
     return (f"sharded pipe {sim.ny}x{sim.nx} mesh={n_dev}dev "
-            f"(temporal K={sim.steps_per_call})", mlups, "shard_map")
+            f"(temporal K={sim.steps_per_call})", (med, spread), "shard_map")
 
 
 def main():
@@ -159,9 +180,11 @@ def main():
                bench_multifield, bench_porous_poisson_8192,
                bench_sharded_8192):
         try:
-            name, mlups, backend = fn(quick)
+            name, result, backend = fn(quick)
+            mlups, spread = result
             print(json.dumps({"config": name, "mlups": round(mlups, 1),
-                              "backend": backend}), flush=True)
+                              "backend": backend, "spread": spread}),
+                  flush=True)
         except Exception as e:  # keep the suite going
             print(json.dumps({"config": fn.__name__,
                               "error": str(e)[:200]}), flush=True)
