@@ -73,7 +73,11 @@ class SurfactantNutrientWave(LBModel):
 
     def __init__(self, Lx=1.0, Ly=1.0, vc=1.0, lam=1.0, Dn=1.0 / 4.0, R0=5.0,
                  time_prefactor=1.0, N=50, seed=0, check_max_ulb=False,
-                 mach_tolerance=0.1, dtype=jnp.float32, method="auto"):
+                 mach_tolerance=0.1, dtype=jnp.float32, method="auto",
+                 stale_velocity=1):
+        # stale_velocity > 1: sweep-stale mode (see ScreenedFisherWave) —
+        # one spectral solve per K-step kernel sweep instead of per step.
+        self.stale_velocity = int(stale_velocity)
         self.Lx, self.Ly = Lx, Ly
         self.D, self.Dn, self.G = 1.0 / 4.0, Dn, 1.0
         self.vc, self.lam, self.R0 = vc, lam, R0
@@ -154,7 +158,10 @@ class SurfactantNutrientWave(LBModel):
         return None
 
     def make_step(self):
-        if jax.default_backend() == "tpu":
+        # stale_velocity > 1 exists only on the kernel path: engage it
+        # even off-TPU (interpret mode)
+        if (jax.default_backend() == "tpu"
+                or getattr(self, "stale_velocity", 1) > 1):
             step = self._make_kernel_step()
             if step is not None:
                 self.backend = "kernel"
@@ -179,20 +186,23 @@ class SurfactantNutrientWave(LBModel):
 
     _clumpy = False
 
-    def _make_kernel_step(self, interpret=None):
+    def _make_kernel_step(self, interpret=None, k_steps=None):
         """Fused kernel (``ops/fused_coupled.py``): growth coupling (and
         the Clumpy pseudo-force) fuse with stream+collide; the velocity —
         a global screened-Poisson solve of the *post-stream* population
         density — is computed outside (periodic rolls + spectral solve)
-        and enters as a 2-plane external input, pinning K=1."""
+        and enters as a 2-plane external input. K=1 re-solves it every
+        step (exact); ``stale_velocity`` > 1 holds it per K-sweep."""
         from ..ops.fused_coupled import (make_surfactant_step,
                                          pick_coupled_tiling)
 
+        K = int(k_steps if k_steps is not None
+                else getattr(self, "stale_velocity", 1))
         ny, nx = self.ny, self.nx
         if self.dtype != jnp.float32:
             return None
         belt = 1 if self._clumpy else 0
-        if pick_coupled_tiling(ny, nx, belt, 2, 1) is None:
+        if pick_coupled_tiling(ny, nx, belt, 2, K) is None:
             return None
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
@@ -203,7 +213,11 @@ class SurfactantNutrientWave(LBModel):
         kernel = make_surfactant_step(
             H=ny, nx=nx, omega=float(self.omega), omega_n=float(self.omega_n),
             lb_G=float(self.lb_G), dtype=self.dtype, interpret=interpret,
-            **kw)
+            k_steps=K, **kw)
+        if K > 1:
+            self.steps_per_call = K
+            self._single_step = (self._make_kernel_step(
+                interpret=interpret, k_steps=1) or self._make_xla_step())
         CH = kernel.chunk
         q = self.lattice.q
         P = q * 2

@@ -242,7 +242,15 @@ class ScreenedFisherWave(LBModel):
 
     def __init__(self, Lx=1.0, Ly=1.0, vc=1.0, lam=1.0, R0=5.0,
                  time_prefactor=1.0, N=50, seed=0, check_max_ulb=False,
-                 mach_tolerance=0.1, dtype=jnp.float32, method="auto"):
+                 mach_tolerance=0.1, dtype=jnp.float32, method="auto",
+                 stale_velocity=1):
+        # stale_velocity > 1: sweep-stale mode — the screened-Poisson
+        # velocity is re-solved once per K-step kernel sweep instead of
+        # every step (the advection field varies on the slow reaction
+        # timescale; error vs exact coupling is quantified in
+        # test_waves.py::test_screened_fisher_stale_velocity). 1 = exact
+        # (reference semantics, screened_poisson_waves.py:373-387).
+        self.stale_velocity = int(stale_velocity)
         self.Lx, self.Ly = Lx, Ly
         self.D, self.G = 1.0 / 4.0, 1.0
         self.vc, self.lam, self.R0 = vc, lam, R0
@@ -293,7 +301,10 @@ class ScreenedFisherWave(LBModel):
         return self.nx * self.ny
 
     def make_step(self):
-        if jax.default_backend() == "tpu":
+        # stale_velocity > 1 exists only on the kernel path, so the mode
+        # engages it even off-TPU (interpret mode) rather than silently
+        # running exact physics
+        if jax.default_backend() == "tpu" or self.stale_velocity > 1:
             step = self._make_kernel_step()
             if step is not None:
                 self.backend = "kernel"
@@ -318,24 +329,29 @@ class ScreenedFisherWave(LBModel):
 
         return step
 
-    def _make_kernel_step(self, interpret=None):
-        """Fused LBM sweep (``ops/fused_coupled.py``) with the per-step
+    def _make_kernel_step(self, interpret=None, k_steps=None):
+        """Fused LBM sweep (``ops/fused_coupled.py``) with the
         screened-Poisson velocity entering as 2 external planes, computed
         from the post-stream density (exact order match with the XLA
-        step)."""
+        step at K=1; K>1 holds it for the sweep — sweep-stale mode)."""
         from ..ops.fused_coupled import (make_screened_fisher_step,
                                          pick_coupled_tiling)
 
+        K = int(k_steps if k_steps is not None else self.stale_velocity)
         ny, nx = self.ny, self.nx
         if self.dtype != jnp.float32:
             return None
-        if pick_coupled_tiling(ny, nx, 0, 2, 1) is None:
+        if pick_coupled_tiling(ny, nx, 0, 2, K) is None:
             return None
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         kernel = make_screened_fisher_step(
             H=ny, nx=nx, omega=float(self.omega), lb_G=float(self.lb_G),
-            dtype=self.dtype, interpret=interpret)
+            dtype=self.dtype, interpret=interpret, k_steps=K)
+        if K > 1:
+            self.steps_per_call = K
+            self._single_step = (self._make_kernel_step(
+                interpret=interpret, k_steps=1) or self._make_xla_step())
         CH = kernel.chunk
         lat = self.lattice
         velocity = self._velocity

@@ -1288,21 +1288,28 @@ def make_resident_pipe_step(
                 zero_vel_in_obstacle=incompressible))
 
         planes = tuple(f_ref[j] for j in range(q))
-        # Unroll U steps per loop iteration: grids at the size extremes
-        # are op-latency bound (each [ny, nx] op is a handful of VPU
-        # tiles) and the unrolled body lets Mosaic keep planes in vector
-        # registers across steps. Measured (TPU v5e, MLUPS U=1 -> U=4):
-        # 32x256: 593 -> 3448; 256^2: 12610 -> 3356 (!); 512^2:
-        # 11599 -> 25135. Non-monotone in size, so the auto table is
-        # empirical; pass `unroll` to override.
+        # Unroll U steps per loop iteration: small grids are op-latency
+        # bound (each [ny, nx] op is a handful of VPU tiles) and the
+        # unrolled body lets Mosaic keep planes in vector registers
+        # across steps. Measured MLUPS by U (TPU v5e,
+        # benchmarks/sweep_resident_unroll.py):
+        #   32x256: 593 / 3448 / 5284 / 4950   (U = 1 / 4 / 8 / 16)
+        #   256^2:  12610 / 16953 / 3356       (U = 1 / 2 / 4)
+        #   384^2:  17964 / 22011              (U = 1 / 4)
+        #   512^2:  11599 / 25135              (U = 1 / 4)
+        #   640^2:  15521 / 18911              (U = 1 / 4)
+        # Non-monotone in size (register-allocation cliffs), so the auto
+        # table is empirical; pass `unroll` to override.
         if unroll is not None:
             U = int(unroll)
         elif noisy:
             U = 1
-        elif ny * nx <= 48 * 1024 or ny * nx >= 384 * 1024:
-            U = 4
+        elif ny * nx <= 48 * 1024:
+            U = 8
+        elif ny * nx <= 96 * 1024:
+            U = 2
         else:
-            U = 1
+            U = 4
         n = n_ref[0, 0]
         if U > 1:
             def bodyU(i, pl_):

@@ -194,16 +194,20 @@ def make_screened_fisher_step(
     dtype=jnp.float32,
     interpret: bool = False,
     chunk: int | None = None,
+    k_steps: int = 1,
 ):
-    """Fused single-step kernel for :class:`~lb2d_tpu.models.waves.
+    """Fused kernel for :class:`~lb2d_tpu.models.waves.
     ScreenedFisherWave`: one field, linear feq on the externally-supplied
     screened-Poisson velocity (2 ext planes), Fisher source
-    (``screened_poisson_waves.py:373-387``). K=1 — the velocity is only
-    valid for the step it was solved from."""
+    (``screened_poisson_waves.py:373-387``). K=1 is exact (the velocity is
+    re-solved every step, as in the reference); ``k_steps>1`` is the
+    documented *sweep-stale* mode — the velocity planes are held constant
+    for K internal steps, amortizing the global solve (the ext ring
+    machinery applies them identically at every stage)."""
     lattice = D2Q9
     q = lattice.q
     ws = lattice.w
-    tiling = pick_coupled_tiling(H, nx, 0, 2, 1)
+    tiling = pick_coupled_tiling(H, nx, 0, 2, k_steps)
     if tiling is None:
         raise ValueError(f"no screened-fisher tiling for {H}x{nx}")
     CH = chunk or tiling[0]
@@ -218,7 +222,7 @@ def make_screened_fisher_step(
                  + ws[j] * react for j in range(q)]]
 
     return _make_halo_kernel(
-        H=H, nx=nx, C=1, CH=CH, K=1, belt=0, n_ext=2, phys=phys,
+        H=H, nx=nx, C=1, CH=CH, K=k_steps, belt=0, n_ext=2, phys=phys,
         dtype=dtype, interpret=interpret, flops_per_cell=120)
 
 
@@ -235,19 +239,21 @@ def make_surfactant_step(
     dtype=jnp.float32,
     interpret: bool = False,
     chunk: int | None = None,
+    k_steps: int = 1,
 ):
-    """Fused single-step kernel for :class:`~lb2d_tpu.models.surfactant.
+    """Fused kernel for :class:`~lb2d_tpu.models.surfactant.
     SurfactantNutrientWave` / ``ClumpySurfactantNutrientWave``. The
     advection velocity (from the global screened-Poisson solve) enters as
-    ``g_ext = [u, v]`` planes; K is pinned to 1 because that field is only
-    valid for the step it was computed from. Plane layout ``j*2 + field``
+    ``g_ext = [u, v]`` planes; K=1 re-solves it every step (exact,
+    reference semantics); ``k_steps>1`` is the documented sweep-stale mode
+    (velocity frozen for K internal steps). Plane layout ``j*2 + field``
     (0 population, 1 nutrient)."""
     lattice = D2Q9
     q = lattice.q
     ws = lattice.w
     cs2 = lattice.cs2
     belt = 1 if clumpy else 0
-    tiling = pick_coupled_tiling(H, nx, belt, 2, 1)
+    tiling = pick_coupled_tiling(H, nx, belt, 2, k_steps)
     if tiling is None:
         raise ValueError(f"no surfactant tiling for {H}x{nx}")
     CH = chunk or tiling[0]
@@ -283,5 +289,5 @@ def make_surfactant_step(
         return [[out[j][i] for j in range(q)] for i in range(2)]
 
     return _make_halo_kernel(
-        H=H, nx=nx, C=2, CH=CH, K=1, belt=belt, n_ext=2, phys=phys,
+        H=H, nx=nx, C=2, CH=CH, K=k_steps, belt=belt, n_ext=2, phys=phys,
         dtype=dtype, interpret=interpret, flops_per_cell=250)

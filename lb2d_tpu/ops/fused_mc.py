@@ -271,27 +271,36 @@ def _make_halo_kernel(
                     f_hbm.at[:, pl.ds(
                         pl.multiple_of((c - 1) * CH, CH), CH), :],
                     in_ring.at[slot], sem_in.at[slot]).start()
-                if has_ext:
-                    pltpu.make_async_copy(
-                        ext_hbm.at[:, pl.ds(
-                            pl.multiple_of((c - 1) * CH, CH), CH), :],
-                        ext_ring.at[c % NE], sem_ext.at[c % NE]).start()
 
             @pl.when(c == V - 1)
             def _():
                 pltpu.make_async_copy(
                     bot_hbm, in_ring.at[slot], sem_in.at[slot]).start()
 
+            if has_ext:
+                # ext chunks load for the HALO chunks too (their stage-s
+                # physics feeds later stages' stream halos at K >= 2): the
+                # physics is periodic, so halo ext rows are the local wrap
+                # (chunk 0 <- last CH rows, chunk V-1 <- first CH rows).
+                # Sharded callers with per-shard ext stay at K=1.
+                cc = jnp.asarray(c)
+                start = jnp.where(
+                    cc == 0, H - CH,
+                    jnp.where(cc == V - 1, 0, (cc - 1) * CH))
+                pltpu.make_async_copy(
+                    ext_hbm.at[:, pl.ds(
+                        pl.multiple_of(start, CH), CH), :],
+                    ext_ring.at[c % NE], sem_ext.at[c % NE]).start()
+
         def load_wait(c):
             slot = c % _NIN
             pltpu.make_async_copy(
                 top_hbm, in_ring.at[slot], sem_in.at[slot]).wait()
             if has_ext:
-                @pl.when((c >= 1) & (c <= Cb))
-                def _():
-                    pltpu.make_async_copy(
-                        ext_hbm.at[:, pl.ds(0, CH), :],
-                        ext_ring.at[c % NE], sem_ext.at[c % NE]).wait()
+                # every virtual chunk now carries an ext DMA (see load)
+                pltpu.make_async_copy(
+                    ext_hbm.at[:, pl.ds(0, CH), :],
+                    ext_ring.at[c % NE], sem_ext.at[c % NE]).wait()
 
         def store(c):
             return pltpu.make_async_copy(

@@ -187,10 +187,12 @@ def test_resident_kernel_matches_xla():
         ny=sim.ny, nx=sim.nx, omega=sim.omega, inlet_rho=sim.inlet_rho,
         outlet_rho=sim.outlet_rho, interpret=True)
     step = sim.make_step()
+    # n = 11 crosses the unrolled block (auto U=8 at this size) AND the
+    # remainder loop
     f = sim.state
-    for _ in range(5):
+    for _ in range(11):
         f = step(f)
-    out = res(sim.state, 5)
+    out = res(sim.state, 11)
     d = float(np.abs(np.asarray(out) - np.asarray(f)).max())
     assert d < 5e-7, d
     # n = 0 is the warm-up path: must be identity

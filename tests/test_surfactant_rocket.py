@@ -159,3 +159,21 @@ def test_clumpy_surfactant_kernel_parity():
     m = ClumpySurfactantNutrientWave(Lx=1.0, Ly=1.0, vc=1.0, lam=0.5,
                                      R0=0.2, N=128, rho_o=1.0, G_chen=-5.0)
     assert _kernel_parity(m, steps=5, ext_vel=True) < 5e-7
+
+
+def test_surfactant_stale_velocity_runs():
+    """Sweep-stale surfactant model: K-deep kernel with frozen velocity
+    stays finite and close to the exact per-step coupling."""
+    from lb2d_tpu.models.surfactant import SurfactantNutrientWave
+
+    kw = dict(Lx=1.0, Ly=1.0, vc=1.0, lam=0.5, R0=0.2, N=128)
+    exact = SurfactantNutrientWave(**kw)
+    stale = SurfactantNutrientWave(stale_velocity=4, **kw)
+    assert stale.backend == "kernel" and stale.steps_per_call == 4
+    exact.run(16)
+    stale.run(16)
+    a = exact.get_fields()["rho"]
+    b = stale.get_fields()["rho"]
+    assert np.isfinite(b).all()
+    err = np.abs(a - b).max() / np.abs(a).max()
+    assert 0 <= err < 5e-3, err

@@ -231,3 +231,45 @@ def test_repelling_fisher_reuse_tolerance():
     pu_after_1.run(1)
     np.testing.assert_array_equal(np.asarray(frozen.state[2]),
                                   np.asarray(pu_after_1.state[2]))
+
+
+def test_screened_fisher_stale_velocity():
+    """Sweep-stale mode (stale_velocity=K): one spectral solve per K-step
+    kernel sweep. Parity vs an explicit frozen-velocity oracle, and the
+    error vs exact per-step coupling stays small (the advection field
+    varies on the slow reaction timescale)."""
+    import jax
+    import jax.numpy as jnp
+    from lb2d_tpu.models.waves import ScreenedFisherWave
+    from lb2d_tpu.ops.collide import bgk
+    from lb2d_tpu.ops.equilibrium import feq_linear
+    from lb2d_tpu.ops.moments import density
+    from lb2d_tpu.ops.stream import stream
+
+    kw = dict(Lx=1.0, Ly=1.0, vc=1.0, lam=0.5, R0=0.2, N=128)
+    stale = ScreenedFisherWave(stale_velocity=4, **kw)
+    assert stale.backend == "kernel" and stale.steps_per_call == 4
+
+    # oracle: velocity from the first step's post-stream density, frozen
+    # for the 4 steps of the sweep
+    lat = stale.lattice
+    w = jnp.asarray(lat.w_np())[:, None, None]
+    f = stale.state
+    u, v = stale._velocity(density(stream(f, lat)))
+    for _ in range(4):
+        f = stream(f, lat)
+        rho = density(f)
+        react = stale.lb_G * rho * (1.0 - rho)
+        f = bgk(f, feq_linear(rho, u, v, lat), stale.omega) + w * react
+    sweep = jax.jit(stale._step)(stale.state)
+    np.testing.assert_allclose(np.asarray(sweep), np.asarray(f),
+                               atol=5e-7, rtol=1e-5)
+
+    # error vs exact coupling over 24 steps: small but nonzero
+    exact = ScreenedFisherWave(**kw)
+    exact.run(24)
+    stale.run(24)
+    re_ = np.asarray(density(exact.state))
+    rs = np.asarray(density(stale.state))
+    err = np.abs(re_ - rs).max() / np.abs(re_).max()
+    assert 0 < err < 5e-3, err
