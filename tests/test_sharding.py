@@ -393,3 +393,22 @@ def test_sharded_diffusion_2d_mesh_parity():
     sh.run(5)
     np.testing.assert_allclose(np.asarray(sh.state), np.asarray(fref),
                                atol=1e-6, rtol=1e-5)
+
+
+def test_distributed_single_process_init(has8):
+    """Multi-host entry point: the single-process path initializes without
+    a coordinator and yields a global mesh the sharded models accept."""
+    from lb2d_tpu.parallel.distributed import (global_mesh, init_distributed,
+                                               is_initialized)
+
+    init_distributed(num_processes=1)
+    assert is_initialized()
+    mesh = global_mesh()
+    assert mesh.shape["y"] * mesh.shape["x"] == len(jax.devices())
+    assert mesh.shape["y"] >= mesh.shape["x"]  # y-major (kernel fast path)
+    # the mesh drives the ordinary sharded surface
+    kw = dict(N=15, pipe_length=1.5 * 30.5 / 15, **PARAMS)
+    mesh2 = global_mesh(shape=(8, 1))
+    sh = ShardedPipeFlow(mesh=mesh2, **kw)
+    sh.run(4)
+    assert np.isfinite(np.asarray(jax.device_get(sh.state))).all()

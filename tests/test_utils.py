@@ -201,3 +201,23 @@ def test_checkpoint_model_roundtrip_no_template():
         out = load_state(path)
     assert isinstance(out, tuple) and len(out) == len(sim.state)
     np.testing.assert_array_equal(out[0], np.asarray(sim.state[0]))
+
+
+def test_live_view_terminal_and_html(tmp_path):
+    """Live viewer (the vispy-window counterpart): ANSI frames to a TTY
+    and a self-contained HTML animation."""
+    import io
+    from lb2d_tpu.utils.render import LiveView
+
+    sim = PipeFlow(**PARAMS)
+    lv = LiveView(sim, steps_per_frame=2)
+    buf = io.StringIO()
+    lv.to_terminal(num_frames=2, max_cols=32, out=buf)
+    out = buf.getvalue()
+    assert "▀" in out and "frame 2/2" in out
+    path = lv.to_html(str(tmp_path / "live.html"), num_frames=2, fps=5)
+    html = open(path).read()
+    assert html.startswith("<!doctype html>")
+    import base64, re
+    m = re.search(r"F=\['([A-Za-z0-9+/=]+)'", html)
+    assert base64.b64decode(m.group(1))[:8] == b"\x89PNG\r\n\x1a\n"
