@@ -84,7 +84,14 @@ def main(steps=200, big=False):
         ("NoisyAdvectedFisherWave", lambda: M.NoisyAdvectedFisherWave(
             N=n_diff, z=0.1, Lx=d_lx, Ly=d_lx, D=1.0, g=10.0, Nc=10.0)),
         ("ScreenedFisherWave", lambda: M.ScreenedFisherWave(
-            Lx=1.0, Ly=1.0, vc=1.0, lam=0.5, R0=0.2, N=512 if big else 48)),
+            Lx=1.0, Ly=1.0, vc=1.0, lam=0.5, R0=0.2,
+            N=1024 if big else 48)),
+        # sweep-stale variant: one spectral solve per 8-step kernel sweep
+        # (error vs exact coupling <5e-3 over the tested horizon;
+        # test_screened_fisher_stale_velocity)
+        ("ScreenedFisherWave-stale8", lambda: M.ScreenedFisherWave(
+            Lx=1.0, Ly=1.0, vc=1.0, lam=0.5, R0=0.2,
+            N=1024 if big else 48, stale_velocity=8 if big else 2)),
         ("RepellingFisherWave", lambda: M.RepellingFisherWave(
             Lx=1.0, Ly=1.0, E=2.0, R0=0.25, N=128 if big else 24,
             max_inner_iter=60,
@@ -101,6 +108,9 @@ def main(steps=200, big=False):
             Nb=10.0, Dc=1.0)),
         ("SurfactantNutrientWave", lambda: M.SurfactantNutrientWave(
             Lx=1.0, Ly=1.0, vc=1.0, lam=0.5, R0=0.2, N=512 if big else 32)),
+        ("SurfactantNutrientWave-stale8", lambda: M.SurfactantNutrientWave(
+            Lx=1.0, Ly=1.0, vc=1.0, lam=0.5, R0=0.2,
+            N=1024 if big else 32, stale_velocity=8 if big else 2)),
         ("ClumpySurfactantNutrientWave",
          lambda: M.ClumpySurfactantNutrientWave(
              Lx=1.0, Ly=1.0, vc=1.0, lam=0.5, R0=0.2, N=512 if big else 32,
