@@ -64,10 +64,15 @@ class LatticePipeFlow(PipeFlow):
             supports_temporal,
         )
 
+        from ..ops.fused import supports_resident
+
         if backend == "auto":
             on_tpu = jax.default_backend() == "tpu"
             if not on_tpu:
                 backend = "xla"
+            elif supports_resident(self.ny, self.nx,
+                                   obstacle_mask is not None):
+                backend = "resident"
             elif obstacle_mask is None and supports_temporal(self.ny, self.nx):
                 backend = "temporal"
             elif supports_pipelined(self.ny, self.nx):
@@ -82,6 +87,8 @@ class LatticePipeFlow(PipeFlow):
         from .base import LBModel
 
         LBModel.__init__(self)
+        if self.backend == "resident":
+            self._install_resident_run()
         self.update_dimensionless_nums()
 
     def update_dimensionless_nums(self):

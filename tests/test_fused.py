@@ -231,3 +231,18 @@ def test_resident_backend_end_to_end():
     assert b.steps_taken == 7
     d = float(np.abs(np.asarray(a.state) - np.asarray(b.state)).max())
     assert d < 1e-6, d
+
+
+def test_lattice_pipe_flow_resident_backend():
+    """LatticePipeFlow (OLD lattice-units API) through the resident
+    kernel matches its XLA backend."""
+    from lb2d_tpu.models.lattice_units import LatticePipeFlow
+
+    kw = dict(omega=1.2, lx=127, ly=31, deltaP=-0.01)
+    a = LatticePipeFlow(backend="xla", **kw)
+    b = LatticePipeFlow(backend="resident", **kw)
+    assert (b.ny, b.nx) == (32, 128)
+    a.run(9)
+    b.run(9)
+    d = float(np.abs(np.asarray(a.state) - np.asarray(b.state)).max())
+    assert d < 1e-6, d
