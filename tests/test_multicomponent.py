@@ -389,3 +389,30 @@ def test_fp32_long_horizon_conservation():
     assert np.isfinite(rho).all()
     mass = float(rho.sum())
     assert abs(mass - mass0) / abs(mass0) < 1e-4, (mass, mass0)
+
+
+def test_sharded_screened_poisson_force_parity():
+    """Config-5 composition (fused mc kernel per shard + the fused
+    screened-Poisson repulsion solve under GSPMD) matches the unsharded
+    run — the solve's 4-step reshapes cross shard boundaries, so GSPMD
+    resharding must not corrupt it (round-2 lesson: GSPMD miscompiles are
+    silent)."""
+    import jax
+    from lb2d_tpu.parallel.sharded import make_mesh
+
+    def build():
+        sim = _aligned_runner("kernel", porous=True, ny=128)
+        sim.add_interaction_force(0, 1, G_int=1.5, potential="shan_chen",
+                                  potential_parameters=[1.0])
+        sim.add_screened_poisson_force(0, 1, interaction_length=4.0,
+                                       amplitude=1e-3)
+        return sim
+
+    a = build()
+    a.run(6)
+    b = build()
+    b.shard_over(make_mesh(4, shape=(4, 1)))
+    b.run(6)
+    assert b.backend_used == "kernel"
+    np.testing.assert_allclose(np.asarray(jax.device_get(b.f)),
+                               np.asarray(a.f), atol=5e-7, rtol=1e-5)
