@@ -331,27 +331,30 @@ def screened_gradients_mm(rho, fx, fy, gx, gy, lam2):
     Zr, Zi = _dft_axis0(rho, None, inverse=False, out_rows=hpad)
     # 2. forward along x (complex, half rows)
     Xr, Xi = _dft_axis1(Zr, Zi, inverse=False)
-    # 3. screening + gradient multipliers on the half spectrum
+    # 3+4. screening + gradient multipliers, mirror-extension, and the
+    # A + iB packing in ONE fused stage. With A = i ax s X, B = i ay s X:
+    #   head rows (ky = 0..ny/2):  P = A + iB
+    #     Pr = -s (ax Xi + ay Xr),  Pi = s (ax Xr - ay Xi)
+    #   tail rows (ky > ny/2) are conj(A)[-k] + i conj(B)[-k]; in terms of
+    #   the stored half spectrum that is Q at mirrored coordinates with
+    #     Qr = s (ay Xr - ax Xi),   Qi = -s (ax Xr + ay Xi)
+    # — four half-size outputs straight from (Xr, Xi), never
+    # materializing A and B.
     KX = fx[None, :]
     KY = fy[:hpad, None]
     s = 1.0 / (lam2 * (KX * KX + KY * KY) + 1.0)
     ax = (2.0 * np.pi) * gx[None, :] * s
     ay = (2.0 * np.pi) * gy[:hpad, None] * s
-    Ar, Ai = -ax * Xi, ax * Xr                       # A = i ax s X
-    Br, Bi = -ay * Xi, ay * Xr
-    # 4. mirror-extend in ky: rows r = hy..ny-1 are conj(A[ny-r, -kx]);
-    #    pack P = A + iB = (Ar - Bi) + i(Ai + Br) as we go
-    def full(hr, hi):
-        head_r, head_i = hr[:hy], hi[:hy]
-        tail_r = _mirror_x(jnp.flip(hr[1:ny - hy + 1], axis=0))
-        tail_i = -_mirror_x(jnp.flip(hi[1:ny - hy + 1], axis=0))
-        return (jnp.concatenate([head_r, tail_r], axis=0),
-                jnp.concatenate([head_i, tail_i], axis=0))
-
-    Afr, Afi = full(Ar, Ai)
-    Bfr, Bfi = full(Br, Bi)
-    Pr = Afr - Bfi
-    Pi = Afi + Bfr
+    axXr, axXi = ax * Xr, ax * Xi
+    ayXr, ayXi = ay * Xr, ay * Xi
+    Pr_h = -(axXi + ayXr)
+    Pi_h = axXr - ayXi
+    Qr = ayXr - axXi
+    Qi = -(axXr + ayXi)
+    Pr = jnp.concatenate(
+        [Pr_h[:hy], _mirror_x(jnp.flip(Qr[1:ny - hy + 1], axis=0))], axis=0)
+    Pi = jnp.concatenate(
+        [Pi_h[:hy], _mirror_x(jnp.flip(Qi[1:ny - hy + 1], axis=0))], axis=0)
     # 5. packed inverse: x then y (both full complex, transpose-light)
     Wr, Wi = _dft_axis1(Pr, Pi, inverse=True)
     Gr, Gi = _dft_axis0(Wr, Wi, inverse=True)
