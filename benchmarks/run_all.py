@@ -147,6 +147,44 @@ def bench_porous_poisson_8192(quick):
             (med, spread), sim.backend_used)
 
 
+def bench_porous_poisson_8192_stale(quick):
+    """Config 5 with sweep-stale repulsion (stale_force=8): the solve is
+    recomputed once per kernel sweep instead of per step — a documented
+    approximation (see RESULTS.md), pinned by kernel-parity and drift
+    tests."""
+    from lb2d_tpu.models.multicomponent import Fluid, SimulationRunner
+    from lb2d_tpu.parallel.sharded import make_mesh
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev, shape=(n_dev, 1))
+    size = 1024 if quick else 8192
+    sim = SimulationRunner(nx=size, ny=size, L_lb=size, T_lb=1.0,
+                           num_populations=2, porous=True, stale_force=8)
+    for i in range(2):
+        sim.add_fluid(Fluid(sim, i, nu_e=1.0 / 6.0, epsilon=0.8,
+                            nu_fluid=1.0 / 6.0, K=10.0, Fe=0.1))
+    sim.complete_setup()
+    rng = np.random.RandomState(0)
+    base = 0.5 + 0.05 * rng.rand(size, size).astype(np.float32)
+    sim.fluid_list[0].initialize(base)
+    sim.fluid_list[1].initialize(1.0 - base)
+    sim.add_interaction_force(0, 1, G_int=1.5, potential="shan_chen",
+                              potential_parameters=[1.0])
+    sim.add_screened_poisson_force(0, 1, interaction_length=10.0,
+                                   amplitude=1e-4)
+    sim.shard_over(mesh)
+    steps = 4 if quick else 16
+    sim.run(steps, timed=True)  # warm
+    rates = []
+    for _ in range(2 if quick else 5):
+        sim.run(steps, timed=True)
+        rates.append(sim.last_mlups)
+    med, spread = _spread(rates)
+    return (f"porous+poisson {size}^2 stale_force "
+            f"(K={sim.steps_per_call}) mesh={n_dev}dev",
+            (med, spread), sim.backend_used)
+
+
 def bench_sharded_8192(quick):
     from lb2d_tpu.parallel.sharded import ShardedPipeFlow, make_mesh
 
@@ -178,7 +216,7 @@ def main():
     quick = "--quick" in sys.argv
     for fn in (bench_poiseuille, bench_obstacle, bench_diffusion,
                bench_multifield, bench_porous_poisson_8192,
-               bench_sharded_8192):
+               bench_porous_poisson_8192_stale, bench_sharded_8192):
         try:
             name, result, backend = fn(quick)
             mlups, spread = result

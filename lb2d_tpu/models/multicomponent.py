@@ -194,7 +194,8 @@ class SimulationRunner:
 
     def __init__(self, nx=100, ny=100, L_lb=100, T_lb=1.0, num_populations=1,
                  porous=True, lattice: Lattice = D2Q9, dtype=None,
-                 check_max_ulb=False, mach_tolerance=0.1, backend="auto"):
+                 check_max_ulb=False, mach_tolerance=0.1, backend="auto",
+                 stale_force=None):
         self.nx, self.ny = int(nx), int(ny)
         self.L_lb, self.T_lb = L_lb, T_lb
         self.delta_x = 1.0 / L_lb
@@ -209,6 +210,16 @@ class SimulationRunner:
                              else ZERO_DENSITY_MULTI)
         self.check_max_ulb = check_max_ulb
         self.mach_tolerance = mach_tolerance
+        # stale_force=K (>= 2) lets dynamic force hooks (the screened-
+        # Poisson repulsion) be recomputed once per K-step kernel sweep and
+        # held constant within it, instead of pinning the temporal depth to
+        # 1. Opt-in approximation: the reference recomputes per step
+        # (multi.py:488-511); the force field varies on the diffusive
+        # timescale, so the sweep-stale error is ~1e-4 relative over
+        # hundreds of steps (quantified in benchmarks/RESULTS.md). Default
+        # None = exact per-step coupling.
+        self.stale_force = None if stale_force in (None, 0, 1) \
+            else int(stale_force)
 
         C, q = self.num_populations, lattice.q
         self.rho = jnp.zeros((C, self.ny, self.nx), dtype)
@@ -596,9 +607,22 @@ class SimulationRunner:
             if ny % my:
                 return None
         H = ny // my
-        if dyn:
-            k_steps = 1
         reach = int(max(max(abs(c) for c in self.lattice.cy), 1))
+        if dyn:
+            # Dynamic ext forces default to K=1 (the field is only valid
+            # for the step it was computed from). stale_force=K opts into
+            # holding it for a K-step sweep — but only when the shard sees
+            # the whole y extent (my == 1): the kernel wraps halo ext rows
+            # shard-locally, which is only the true periodic wrap there.
+            sf = 1 if my > 1 else (self.stale_force or 1)
+            if k_steps is not None:
+                sf = min(sf, int(k_steps))
+            from ..ops.fused_mc import pick_mc_tiling
+            while sf > 1 and pick_mc_tiling(
+                    H, nx, C, cfg.belt, cfg.has_ext, sf,
+                    q=q, reach=reach) is None:
+                sf -= 1
+            k_steps = sf
         if not supports_mc_halo(H, nx, C, cfg.belt, cfg.has_ext,
                                 q=q, reach=reach):
             return None

@@ -1,6 +1,7 @@
 """Multicomponent/porous engine tests: Darcy balance, Shan-Chen separation,
 conservation, eating/growth hooks, D2Q25, zero-gradient BCs."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -288,6 +289,98 @@ def test_kernel_temporal_k_parity():
         assert sim.steps_per_call == K
         np.testing.assert_allclose(np.asarray(sim.f), np.asarray(ref.f),
                                    atol=5e-7, rtol=1e-5)
+
+
+def test_stale_force_kernel_matches_frozen_oracle():
+    """``stale_force=K`` semantics, pinned exactly: the kernel recomputes
+    the screened-Poisson repulsion once per K-step sweep (from the
+    post-stream density of the sweep's first step) and holds it; an XLA
+    oracle that freezes the force planes per K-block must match bit-close."""
+    K, sweeps = 2, 2
+
+    def build(backend, stale):
+        sim = SimulationRunner(nx=128, ny=48, L_lb=128, T_lb=1.0,
+                               num_populations=2, porous=False,
+                               backend=backend, stale_force=stale)
+        for i in range(2):
+            sim.add_fluid(Fluid(sim, i, nu_e=0.5))
+        sim.complete_setup()
+        rng = np.random.RandomState(3)
+        base = 0.5 + 0.05 * rng.rand(sim.ny, sim.nx)
+        sim.fluid_list[0].initialize(base)
+        sim.fluid_list[1].initialize(1.0 - base)
+        sim.add_interaction_force(0, 1, G_int=1.5, potential="shan_chen",
+                                  potential_parameters=[1.0])
+        sim.add_screened_poisson_force(0, 1, interaction_length=4.0,
+                                       amplitude=0.02)
+        return sim
+
+    sim = build("kernel", K)
+    f0 = jnp.array(sim.f)
+    sim.run(K * sweeps)
+    assert sim.backend_used == "kernel" and sim.steps_per_call == K
+
+    # oracle: same registry, but the dyn hook swapped for per-block frozen
+    # planes computed exactly as the kernel path's build_ext does
+    oracle = build("xla", None)
+    (_, src, tgt, vel, amp) = next(d for d in oracle._force_desc
+                                   if d[0] == "dyn_ext")
+    base_forces = [fr for fr, d in zip(oracle.additional_forces,
+                                       oracle._force_desc)
+                   if d[0] != "dyn_ext"]
+    lat = oracle.lattice
+    f = f0
+    for _ in range(sweeps):
+        r = 0.0
+        for j in range(lat.q):
+            p = f[j, src]
+            if lat.cy[j]:
+                p = jnp.roll(p, lat.cy[j], axis=0)
+            if lat.cx[j]:
+                p = jnp.roll(p, lat.cx[j], axis=1)
+            r = r + p
+        gx, gy = vel(r.astype(jnp.float32))
+        gx, gy = -amp * gx, -amp * gy
+
+        def frozen(rho, u, v, Gx, Gy, gx=gx, gy=gy):
+            return (Gx.at[tgt].add(gx.astype(Gx.dtype)),
+                    Gy.at[tgt].add(gy.astype(Gy.dtype)))
+
+        oracle.additional_forces = base_forces + [frozen]
+        for _ in range(K):
+            f = oracle._step(f)
+    np.testing.assert_allclose(np.asarray(sim.f), np.asarray(f),
+                               atol=5e-7, rtol=1e-5)
+
+
+def test_stale_force_drift_vs_exact_is_bounded():
+    """The sweep-stale approximation stays close to exact per-step
+    coupling over a multi-sweep horizon (the force varies on the diffusive
+    timescale)."""
+    def build(stale):
+        sim = SimulationRunner(nx=128, ny=48, L_lb=128, T_lb=1.0,
+                               num_populations=2, porous=False,
+                               backend="kernel", stale_force=stale)
+        for i in range(2):
+            sim.add_fluid(Fluid(sim, i, nu_e=0.5))
+        sim.complete_setup()
+        rng = np.random.RandomState(7)
+        base = 0.5 + 0.05 * rng.rand(sim.ny, sim.nx)
+        sim.fluid_list[0].initialize(base)
+        sim.fluid_list[1].initialize(1.0 - base)
+        sim.add_screened_poisson_force(0, 1, interaction_length=4.0,
+                                       amplitude=0.02)
+        return sim
+
+    exact = build(None)
+    exact.run(8)
+    assert exact.steps_per_call == 1
+    stale = build(4)
+    stale.run(8)
+    assert stale.steps_per_call == 4
+    diff = np.max(np.abs(np.asarray(stale.f) - np.asarray(exact.f)))
+    scale = np.max(np.abs(np.asarray(exact.f)))
+    assert diff / scale < 1e-2, diff / scale
 
 
 def test_run_k_steps_rebuilds_cached_step():
