@@ -77,9 +77,19 @@ __all__ = [
 _NIN = 5    # HBM input ring depth (loads run 3 chunks ahead)
 _NFS = 2    # streamed-f ring depth (written S_s, read P_s next iteration)
 _NRHO = 4   # density ring depth (P_s reads chunks c-1, c, c+1)
-_NFO = 4    # per-step output ring depth (S_{s+1} reads c-1, c, c+1)
+# Per-step output ring depth. S_{s+1}(c) reads chunks c-1..c+1 of
+# fo_rings[s]; the writer P_s(c+1) commits earlier in the SAME body
+# iteration (the stage loop runs s before s+1), and slot (c-1) % _NFO is
+# only rewritten by chunk c-1+_NFO two iterations after the last read at
+# depth 3 — so 3 slots suffice. Depth is the dominant VMEM term at large
+# nx (18 planes per temporal stage): 3 instead of 4 is what lets K=3 fit
+# at 8192^2 2-fluid.
+_NFO = 3
 _NOUT = 2   # HBM output ring depth
-_VMEM_BUDGET = 88 * 1024 * 1024
+_VMEM_BUDGET = 102 * 1024 * 1024
+_VMEM_LIMIT = 124 * 1024 * 1024   # pallas_call cap (v5e VMEM is 128 MB;
+# the K=3 8192^2 2-fluid ext config needs 118.9 MB = 100.5 MB rings +
+# ~18 MB compiler stack scratch)
 
 
 @dataclass(frozen=True)
@@ -443,7 +453,7 @@ def _make_halo_kernel(
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         cost_estimate=pl.CostEstimate(
             flops=K * flops_per_cell * H * nx,
