@@ -100,3 +100,32 @@ def test_noisy_kernel_sigma_matches_jax_random():
     s_kernel = sigma(False)
     s_xla = sigma(True)
     assert abs(s_kernel - s_xla) / s_xla < 0.05, (s_kernel, s_xla)
+
+
+@requires_tpu
+def test_pallas_screened_solve_matches_mm_compiled():
+    """Compiled-mode (Mosaic, not interpret) parity of the Pallas 4-step
+    screened-gradient solve vs the matmul-DFT path — the interpret-mode
+    parity lives in tests/test_dft_pallas.py; this covers the real
+    compiler (layout choices, DMA alignment, MXU precision flags)."""
+    from lb2d_tpu.ops.dft import screened_gradients_mm
+    from lb2d_tpu.ops.dft_pallas import (
+        screened_gradients_pl, supports_pallas_solve)
+
+    ny = nx = 1024
+    assert supports_pallas_solve(ny, nx)
+    rs = np.random.RandomState(7)
+    rho = jnp.asarray(rs.rand(ny, nx).astype(np.float32))
+    fx = jnp.asarray((np.fft.fftfreq(nx) * nx).astype(np.float32))
+    fy = jnp.asarray((np.fft.fftfreq(ny) * ny).astype(np.float32))
+    gx = np.asarray(fx).copy(); gx[nx // 2] = 0.0
+    gy = np.asarray(fy).copy(); gy[ny // 2] = 0.0
+    lam2 = np.float32(100.0)
+    args = (rho, fx, fy, jnp.asarray(gx), jnp.asarray(gy), lam2)
+    a = jax.jit(screened_gradients_pl)(*args)
+    b = jax.jit(screened_gradients_mm)(*args)
+    sc = float(jnp.max(jnp.abs(b[0])))
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                               atol=1e-4 * sc)
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]),
+                               atol=1e-4 * sc)

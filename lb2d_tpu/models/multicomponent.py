@@ -730,6 +730,13 @@ class SimulationRunner:
         s4 = NamedSharding(mesh, P(None, None, "y", *xs))
         s3 = NamedSharding(mesh, P(None, "y", *xs))
         s2 = NamedSharding(mesh, P("y", *xs))
+        if mesh.size > 1:
+            for desc in self._force_desc:
+                # dyn_ext entries carry a _ScreenedVelocity; its Pallas DFT
+                # solve is a custom call GSPMD cannot partition — force the
+                # partitionable matmul-DFT path under a real mesh
+                if desc[0] == "dyn_ext" and hasattr(desc[3], "allow_pallas"):
+                    desc[3].allow_pallas = False
         self.f = jax.device_put(self.f, s4)
         self.rho = jax.device_put(self.rho, s3)
         self.u_bary = jax.device_put(self.u_bary, s2)

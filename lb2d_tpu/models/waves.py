@@ -198,6 +198,14 @@ class _ScreenedVelocity:
         self._lam2 = np.float32(lam * lam)
         self.scale = np.float32(-vc * ulb)
         self.method = spectral_method(method)
+        # an explicit method= request ("matmul"/"fft") pins that exact
+        # path — only "auto"/"pallas" may promote to the Pallas solve
+        self._pallas_ok = method in ("auto", "pallas")
+        # The Pallas solve is a custom call GSPMD cannot partition; callers
+        # that evaluate the velocity on arrays sharded over a >1-device
+        # mesh (ShardedCoupled, SimulationRunner.shard_over) clear this so
+        # the partitionable matmul-DFT path runs instead.
+        self.allow_pallas = True
 
     def _fields(self):
         KX = self._fx[None, :]
@@ -213,9 +221,22 @@ class _ScreenedVelocity:
         # ifft(A + iB) = xg + i yg exactly. 2 transforms per solve, not 3.
         if self.method != "fft":
             ny = self._fy.shape[0]
+            nx = self._fx.shape[0]
             if ny % 2 == 0:
-                # fused real-input half-spectrum solve (the fast path —
-                # see lb2d_tpu/ops/dft.py module comment)
+                from ..ops.dft_pallas import (
+                    screened_gradients_pl, supports_pallas_solve)
+                if (self.allow_pallas and self._pallas_ok
+                        and jax.default_backend() == "tpu"
+                        and supports_pallas_solve(ny, nx)):
+                    # Pallas 4-step passes: layout-controlled corner
+                    # turns in VMEM instead of XLA's relayout copies
+                    # (31.8 ms vs 54.1 ms at 8192^2 — see ops/dft_pallas.py)
+                    xg, yg = screened_gradients_pl(
+                        rho, self._fx, self._fy, self._gx, self._gy,
+                        self._lam2)
+                    return self.scale * xg, self.scale * yg
+                # fused real-input half-spectrum solve (see
+                # lb2d_tpu/ops/dft.py module comment)
                 xg, yg = screened_gradients_mm(
                     rho, self._fx, self._fy, self._gx, self._gy,
                     self._lam2)

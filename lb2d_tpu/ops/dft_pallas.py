@@ -1,0 +1,251 @@
+"""Pallas 4-step DFT passes — the layout-controlled spectral-solve path.
+
+The XLA matmul-DFT (:mod:`lb2d_tpu.ops.dft`) is correct but layout-bound on
+TPU: profiling the 8192^2 screened-gradient solve showed ~15 ms of MXU work
+inside a ~57 ms solve, the rest being relayout copies XLA inserts around the
+4-step's reshape/dot_general chain (the Bailey factorization is inherently a
+corner-turn, and XLA materializes it as multiple exotic-layout copies per
+pass).
+
+Here each 1-D DFT pass along **axis 0** is ONE Pallas kernel, tiled over
+lanes: a ``[n, TW]`` tile is loaded once, the corner-turns happen in VMEM
+(3-D leading-dims transposes — measured supported and bit-exact on the
+Mosaic compiler), the three 4-step stages run as batched MXU ``dot_general``
+s at ``Precision.HIGHEST``, and the tile is written once. HBM traffic per
+pass is exactly read + write; no intermediate spills.
+
+The screened-gradient solve (reference:
+``spectral_poisson/screened_poisson.py:38-89``) becomes 3 kernel passes +
+2 XLA 2-D transposes (which XLA does at near-bandwidth) + one elementwise
+multiplier/mirror/pack stage:
+
+    rho [y, x] --fwd-y (real, half-spectrum)--> Z [ky_h, x]
+    Z^T [x, ky_h] --fwd-x (complex)--> X [kx, ky_h]
+    multipliers + Hermitian mirror + A+iB packing (lane flips, XLA)
+    P [kx, ky] --inv-x--> W [x, ky]
+    W^T [ky, x] --inv-y--> xg + i yg [y, x]
+
+Numerics match :func:`lb2d_tpu.ops.dft.screened_gradients_mm` to ~1e-5
+relative (same HIGHEST-precision matmuls, same packed-Hermitian inverse).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+__all__ = ["make_axis0_dft", "supports_pallas_solve", "screened_gradients_pl"]
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _factor(n: int) -> tuple[int, int] | None:
+    """n = n1 * n2 with n1 <= n2, n1 as close to sqrt(n) as possible, both
+    >= 8 (sublane-dim safety) and n2 <= 512."""
+    n1 = int(np.sqrt(n))
+    while n1 >= 8:
+        if n % n1 == 0 and n // n1 <= 512:
+            return n1, n // n1
+        n1 -= 1
+    return None
+
+
+def _consts(n1: int, n2: int, inverse: bool):
+    """(F1c, F1s, F2c, F2s, twc, tws) for the 4-step with m = n2*a + b,
+    k = c + n1*d. Exact int32 phase products (cf. dft.dft_mats)."""
+    n = n1 * n2
+
+    def mats(m):
+        k = np.arange(m, dtype=np.int64)
+        ang = (2.0 * np.pi / m) * ((np.outer(k, k) % m).astype(np.float32))
+        sign = 1.0 if inverse else -1.0
+        c = np.cos(ang).astype(np.float32)
+        s = (sign * np.sin(ang)).astype(np.float32)
+        if inverse:
+            c, s = c / m, s / m
+        return c, s
+
+    F1c, F1s = mats(n1)
+    F2c, F2s = mats(n2)
+    b = np.arange(n2, dtype=np.int64)
+    c = np.arange(n1, dtype=np.int64)
+    ang = (2.0 * np.pi / n) * (np.outer(b, c).astype(np.float32))  # [b, c]
+    sign = 1.0 if inverse else -1.0
+    twc = np.cos(ang).astype(np.float32)
+    tws = (sign * np.sin(ang)).astype(np.float32)
+    return F1c, F1s, F2c, F2s, twc, tws
+
+
+def make_axis0_dft(n: int, W: int, *, real_input: bool = False,
+                   inverse: bool = False, out_rows: int | None = None,
+                   tw: int = 256, interpret: bool = False):
+    """Build a 1-D DFT along axis 0 of ``[n, W]`` as one Pallas kernel.
+
+    Returns ``fn(xr[, xi]) -> (yr, yi)`` with ``yr/yi`` of shape
+    ``[R, W]`` where ``R = ceil(out_rows / n1) * n1`` rows in k-order
+    (``R = n`` when ``out_rows`` is None); callers slice ``[:out_rows]``.
+    ``real_input`` drops the imaginary input (2 instead of 4 matmuls in
+    step 1). 4-step: m = n2*a + b, k = c + n1*d.
+    """
+    fac = _factor(n)
+    assert fac is not None, f"no 4-step factorization for n={n}"
+    n1, n2 = fac
+    if n >= 4096:
+        tw = min(tw, 128)   # [n, tw] tiles: keep the VMEM working set sane
+    while W % tw:
+        tw //= 2
+    assert tw >= 128, (W, tw)
+    D = n2 if out_rows is None else (out_rows - 1) // n1 + 1
+    R = D * n1
+    consts = [jnp.asarray(a) for a in _consts(n1, n2, inverse)]
+
+    dg = partial(jax.lax.dot_general, preferred_element_type=jnp.float32,
+                 precision=_PREC)
+
+    def kernel(*refs):
+        if real_input:
+            (xr_ref, f1c, f1s, f2c, f2s, twc, tws, or_ref, oi_ref) = refs
+            xi_ref = None
+        else:
+            (xr_ref, xi_ref, f1c, f1s, f2c, f2s, twc, tws,
+             or_ref, oi_ref) = refs
+        # [n, TW] -> [a, b, w] (free: leading-dim split) -> [b, a, w]
+        tr = jnp.transpose(xr_ref[:].reshape(n1, n2, tw), (1, 0, 2))
+        ti = (None if xi_ref is None else
+              jnp.transpose(xi_ref[:].reshape(n1, n2, tw), (1, 0, 2)))
+        # step 1: inner DFT over a, batched over b:
+        # T1[b, c, w] = sum_a F1[c, a] t[b, a, w]
+        F1cb = jnp.broadcast_to(f1c[:], (n2, n1, n1))
+        F1sb = jnp.broadcast_to(f1s[:], (n2, n1, n1))
+        bdg = lambda A, B: dg(A, B, dimension_numbers=(((2,), (1,)),
+                                                       ((0,), (0,))))
+        if ti is None:
+            t1r = bdg(F1cb, tr)
+            t1i = bdg(F1sb, tr)
+        else:
+            t1r = bdg(F1cb, tr) - bdg(F1sb, ti)
+            t1i = bdg(F1cb, ti) + bdg(F1sb, tr)
+        # step 2: twiddle W_n^{+-bc}
+        wc = twc[:].reshape(n2, n1, 1)
+        ws = tws[:].reshape(n2, n1, 1)
+        t2r = t1r * wc - t1i * ws
+        t2i = t1r * ws + t1i * wc
+        # step 3: outer DFT over b, batched over c:
+        # X[c, d, w] = sum_b F2[d, b] T2[b, c, w]
+        ur = jnp.transpose(t2r, (1, 0, 2))      # [c, b, w]
+        ui = jnp.transpose(t2i, (1, 0, 2))
+        F2cb = jnp.broadcast_to(f2c[:D], (n1, D, n2))
+        F2sb = jnp.broadcast_to(f2s[:D], (n1, D, n2))
+        xr_ = bdg(F2cb, ur) - bdg(F2sb, ui)      # [c, d, w]
+        xi_ = bdg(F2cb, ui) + bdg(F2sb, ur)
+        # k = c + n1*d -> rows [d, c, w] flatten to k-order
+        or_ref[:] = jnp.transpose(xr_, (1, 0, 2)).reshape(R, tw)
+        oi_ref[:] = jnp.transpose(xi_, (1, 0, 2)).reshape(R, tw)
+
+    grid = (W // tw,)
+    col = lambda i: (0, i)
+    full = lambda i: (0, 0)
+    in_specs = [pl.BlockSpec((n, tw), col)] * (1 if real_input else 2)
+    in_specs += [pl.BlockSpec((n1, n1), full)] * 2
+    in_specs += [pl.BlockSpec((n2, n2), full)] * 2
+    in_specs += [pl.BlockSpec((n2, n1), full)] * 2
+    from jax.experimental.pallas import tpu as pltpu
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((R, tw), col)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((R, W), jnp.float32)] * 2,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 if real_input else 4) * 2 * n * (n1 + D) * W,
+            bytes_accessed=(2 * n + 2 * R) * W * 4,
+            transcendentals=0,
+        ),
+    )
+
+    if real_input:
+        return lambda xr: tuple(call(xr, *consts))
+    return lambda xr, xi: tuple(call(xr, xi, *consts))
+
+
+def supports_pallas_solve(ny: int, nx: int) -> bool:
+    """The Pallas solve needs even ny, 4-step factorizations for both
+    axes, and lane counts that tile to >= 128 (DMA-aligned columns)."""
+    if ny % 2 or nx % 128 or ny % 128:
+        return False
+    return _factor(ny) is not None and _factor(nx) is not None
+
+
+def _hpad(ny: int, n1: int) -> int:
+    """Half-spectrum row count, rounded up to a multiple of 128 so the
+    transposed x-pass gets >= 128-lane tiles (n1 is a divisor of 128 for
+    every supported n, so the fwd-y kernel's R = ceil/n1 rows equals this
+    exactly)."""
+    hy = ny // 2 + 1
+    return min(-(-hy // 128) * 128, ny)
+
+
+def screened_gradients_pl(rho, fx, fy, gx, gy, lam2, interpret: bool = False):
+    """Drop-in Pallas replacement for
+    :func:`lb2d_tpu.ops.dft.screened_gradients_mm` (same signature and
+    semantics: screened-Poisson spectral gradients of a REAL field,
+    Nyquist-zeroed multipliers, packed A+iB inverse)."""
+    ny, nx = rho.shape
+    assert supports_pallas_solve(ny, nx), (ny, nx)
+    hy = ny // 2 + 1
+    n1y, _ = _factor(ny)
+    hp = _hpad(ny, n1y)
+
+    # 1. forward along y: real input, half spectrum (+ pad rows to a
+    #    multiple of n1; sliced away before the mirror)
+    fwd_y = make_axis0_dft(ny, nx, real_input=True, out_rows=hp,
+                           interpret=interpret)
+    Zr, Zi = fwd_y(rho)
+    Zr, Zi = Zr[:hp], Zi[:hp]
+    # 2. transpose -> [x, ky_h]; forward along x (complex)
+    fwd_x = make_axis0_dft(nx, hp, real_input=False, interpret=interpret)
+    Xr, Xi = fwd_x(Zr.T, Zi.T)                   # [kx, ky_h]
+    # 3. screening + gradient multipliers + Hermitian mirror + A+iB pack,
+    #    in the transposed layout (kx rows, ky lanes). Head lanes
+    #    ky = 0..ny/2 hold P = A + iB; tail lanes ky' > ny/2 hold
+    #    conj(A)(-k) + i conj(B)(-k) = Q at mirrored coordinates
+    #    (rows kx -> -kx, lanes ky' -> ny - ky'). Cf. dft.py's
+    #    screened_gradients_mm stage 3+4 (row/lane roles swapped).
+    KX = fx[:, None]                              # [kx, 1]
+    KY = fy[None, :hp]                            # [1, ky_h]
+    s = 1.0 / (lam2 * (KX * KX + KY * KY) + 1.0)
+    ax = (2.0 * np.pi) * gx[:, None] * s          # [kx, ky_h]
+    ay = (2.0 * np.pi) * gy[None, :hp] * s
+    axXr, axXi = ax * Xr, ax * Xi
+    ayXr, ayXi = ay * Xr, ay * Xi
+    Pr_h = -(axXi + ayXr)
+    Pi_h = axXr - ayXi
+    Qr = ayXr - axXi
+    Qi = -(axXr + ayXi)
+
+    def mirror_rows(a):                           # kx -> (-kx) mod nx
+        return jnp.concatenate([a[:1], jnp.flip(a[1:], axis=0)], axis=0)
+
+    def tail(q):                                  # lanes ny-hy .. down to 1
+        return mirror_rows(jnp.flip(q[:, 1:ny - hy + 1], axis=1))
+
+    Pr = jnp.concatenate([Pr_h[:, :hy], tail(Qr)], axis=1)   # [kx, ky]
+    Pi = jnp.concatenate([Pi_h[:, :hy], tail(Qi)], axis=1)
+    # 4. inverse along x (rows): [kx, ky] -> [x, ky]
+    inv_x = make_axis0_dft(nx, ny, real_input=False, inverse=True,
+                           interpret=interpret)
+    Wr, Wi = inv_x(Pr, Pi)
+    # 5. transpose -> [ky, x]; inverse along y -> xg + i yg [y, x]
+    inv_y = make_axis0_dft(ny, nx, real_input=False, inverse=True,
+                           interpret=interpret)
+    Gr, Gi = inv_y(Wr.T, Wi.T)
+    return Gr, Gi

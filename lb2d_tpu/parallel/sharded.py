@@ -620,6 +620,11 @@ class ShardedCoupled:
         Pp = q * C
         has_ext = ext_src is not None
         velocity = base._velocity
+        if self.mesh.size > 1 and hasattr(velocity, "allow_pallas"):
+            # the Pallas DFT solve is an opaque custom call GSPMD cannot
+            # partition — force the partitionable matmul-DFT path when the
+            # velocity is evaluated on mesh-sharded arrays
+            velocity.allow_pallas = False
 
         f_spec = P(None, "y", None)
         self._sharding = NamedSharding(self.mesh, f_spec)

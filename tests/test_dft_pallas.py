@@ -1,0 +1,84 @@
+"""Pallas 4-step DFT pass + fused screened-gradient solve (interpret
+mode on CPU; compiled-mode parity is exercised on the TPU bench — see
+benchmarks/RESULTS.md and benchmarks/tpu_tests.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lb2d_tpu.ops.dft import screened_gradients_mm
+from lb2d_tpu.ops.dft_pallas import (
+    make_axis0_dft,
+    screened_gradients_pl,
+    supports_pallas_solve,
+)
+
+
+@pytest.mark.parametrize("n,W,real", [(256, 256, True), (256, 256, False),
+                                      (512, 384, False), (384, 512, True)])
+def test_axis0_dft_matches_numpy(n, W, real):
+    rs = np.random.RandomState(0)
+    xr = rs.rand(n, W).astype(np.float32)
+    xi = rs.rand(n, W).astype(np.float32)
+    if real:
+        f = make_axis0_dft(n, W, real_input=True, interpret=True)
+        yr, yi = f(jnp.asarray(xr))
+        ref = np.fft.fft(xr, axis=0)
+    else:
+        f = make_axis0_dft(n, W, real_input=False, interpret=True)
+        yr, yi = f(jnp.asarray(xr), jnp.asarray(xi))
+        ref = np.fft.fft(xr + 1j * xi, axis=0)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(yr), ref.real, atol=1e-6 * scale)
+    np.testing.assert_allclose(np.asarray(yi), ref.imag, atol=1e-6 * scale)
+    # inverse roundtrip
+    fi = make_axis0_dft(n, W, real_input=False, inverse=True, interpret=True)
+    zr, _ = fi(yr, yi)
+    np.testing.assert_allclose(np.asarray(zr), xr, atol=2e-6)
+
+
+def test_axis0_dft_half_spectrum_rows():
+    """out_rows truncation returns exactly the requested k-rows (padded to
+    a multiple of n1)."""
+    n, W = 256, 256
+    rs = np.random.RandomState(2)
+    x = rs.rand(n, W).astype(np.float32)
+    f = make_axis0_dft(n, W, real_input=True, out_rows=n // 2 + 1,
+                       interpret=True)
+    yr, yi = f(jnp.asarray(x))
+    ref = np.fft.fft(x, axis=0)
+    R = yr.shape[0]
+    assert R >= n // 2 + 1 and R % 1 == 0
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(yr), ref.real[:R],
+                               atol=1e-6 * scale)
+    np.testing.assert_allclose(np.asarray(yi), ref.imag[:R],
+                               atol=1e-6 * scale)
+
+
+@pytest.mark.parametrize("ny,nx", [(256, 256), (256, 384), (512, 256)])
+def test_screened_gradients_pl_matches_mm(ny, nx):
+    """The Pallas solve is a drop-in for screened_gradients_mm."""
+    assert supports_pallas_solve(ny, nx)
+    rs = np.random.RandomState(1)
+    rho = jnp.asarray(rs.rand(ny, nx).astype(np.float32))
+    fx = jnp.asarray((np.fft.fftfreq(nx) * nx).astype(np.float32))
+    fy = jnp.asarray((np.fft.fftfreq(ny) * ny).astype(np.float32))
+    gxv = np.asarray(fx).copy(); gxv[nx // 2] = 0.0
+    gyv = np.asarray(fy).copy(); gyv[ny // 2] = 0.0
+    lam2 = np.float32(25.0)
+    a = screened_gradients_pl(rho, fx, fy, jnp.asarray(gxv),
+                              jnp.asarray(gyv), lam2, interpret=True)
+    b = screened_gradients_mm(rho, fx, fy, jnp.asarray(gxv),
+                              jnp.asarray(gyv), lam2)
+    sc = float(jnp.max(jnp.abs(b[0])))
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                               atol=1e-4 * sc)
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]),
+                               atol=1e-4 * sc)
+
+
+def test_supports_pallas_solve_gates():
+    assert supports_pallas_solve(8192, 8192)
+    assert not supports_pallas_solve(255, 256)   # odd ny
+    assert not supports_pallas_solve(256, 100)   # nx not 128-aligned

@@ -333,6 +333,35 @@ def test_sharded_coupled_spectral_parity():
                                np.asarray(fx), atol=5e-7, rtol=1e-5)
 
 
+def test_sharded_velocity_clears_pallas_gate():
+    """Under a >1-device mesh the screened-velocity solve must take the
+    GSPMD-partitionable matmul path, never the opaque Pallas custom call
+    (waves.py allow_pallas gate)."""
+    from lb2d_tpu.models.multicomponent import Fluid, SimulationRunner
+    from lb2d_tpu.models.waves import ScreenedFisherWave
+    from lb2d_tpu.parallel.sharded import ShardedCoupled, make_mesh
+
+    base = ScreenedFisherWave(Lx=1.0, Ly=1.0, vc=1.0, lam=0.5, R0=0.2,
+                              N=128)
+    assert base._velocity.allow_pallas
+    ShardedCoupled(base, mesh=make_mesh(4, shape=(4, 1)))
+    assert not base._velocity.allow_pallas
+
+    sim = SimulationRunner(nx=128, ny=128, L_lb=128, T_lb=1.0,
+                           num_populations=2)
+    for i in range(2):
+        sim.add_fluid(Fluid(sim, i, nu_e=1.0 / 6.0))
+    sim.complete_setup()
+    sim.fluid_list[0].initialize(np.full((128, 128), 0.5, np.float32))
+    sim.fluid_list[1].initialize(np.full((128, 128), 0.5, np.float32))
+    sim.add_screened_poisson_force(0, 1, interaction_length=4.0,
+                                   amplitude=1e-4)
+    vel = next(d[3] for d in sim._force_desc if d[0] == "dyn_ext")
+    assert vel.allow_pallas
+    sim.shard_over(make_mesh(4, shape=(4, 1)))
+    assert not vel.allow_pallas
+
+
 class TestTemporalSharded2D:
     """x-extended temporal kernel on 2-D meshes (lane-direction halo
     strips ppermuted from x-neighbors; VERDICT r2 item 4)."""
