@@ -5,7 +5,9 @@ from .diffusion import (
     ReactionAdvectionDiffusionStochastic,
     ReactionDiffusion,
 )
-from .lattice_units import LatticePipeFlow, PipeFlowVelocityInlet
+from .lattice_units import (LatticePipeFlow,
+                            LatticePipeFlowPeriodicBC,
+                            PipeFlowVelocityInlet)
 from .multicomponent import Fluid, SimulationRunner
 from .multifield import Expansion, FisherExpansion
 from .pipe_flow import (
@@ -28,6 +30,7 @@ __all__ = [
     # flow family
     "PipeFlow", "PipeFlowCylinder", "PipeFlowObstacles",
     "PipeFlowVelocityInlet", "disk_mask", "LatticePipeFlow",
+    "LatticePipeFlowPeriodicBC",
     # diffusion family
     "Diffusion", "AdvectionDiffusion", "ReactionDiffusion",
     "ReactionAdvectionDiffusion", "ReactionAdvectionDiffusionStochastic",

@@ -26,7 +26,8 @@ import numpy as np
 from ..core.lattice import D2Q9
 from .pipe_flow import PipeFlow
 
-__all__ = ["LatticePipeFlow", "PipeFlowVelocityInlet"]
+__all__ = ["LatticePipeFlow", "LatticePipeFlowPeriodicBC",
+           "PipeFlowVelocityInlet"]
 
 
 class LatticePipeFlow(PipeFlow):
@@ -110,6 +111,15 @@ class LatticePipeFlow(PipeFlow):
             "PipeFlow for unit conversions")
 
     get_physical_fields = get_nondim_fields
+
+
+# ``Pipe_Flow_PeriodicBC`` (``OLD/python.py:250-316``) is behaviorally
+# identical to the base OLD ``Pipe_Flow``: a line diff shows its
+# ``move_bcs`` is a verbatim copy of the base class's (only a "THIS PART
+# IS NOT CORRECT" comment added) and its ``__init__`` just delegates — an
+# abandoned edit, no periodic BC was ever implemented (DIVERGENCES.md
+# #18). Aliased so reference users switching over find the name.
+LatticePipeFlowPeriodicBC = LatticePipeFlow
 
 
 class PipeFlowVelocityInlet(LatticePipeFlow):
