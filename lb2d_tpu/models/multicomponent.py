@@ -587,8 +587,14 @@ class SimulationRunner:
         ``steps_per_call`` LB steps (unsharded, or ``shard_map``-wrapped
         over a y-decomposed mesh). Returns ``None`` when the kernel path is
         unavailable. Dynamic force hooks (screened-Poisson) pin the
-        temporal depth to 1 — the force field is only valid for the step
-        it was computed from."""
+        temporal depth to 1 — the field is only valid for the step it was
+        computed from (``stale_force`` relaxes this per sweep) — and, when
+        the shard sees the whole y extent, switch the kernel to
+        density-emit mode: the returned step carries ``(f, rho)`` (set
+        ``step.carried``; build the initial carry with
+        ``step.init_carry(f)``), the solve consumes the kernel-emitted
+        post-stream density, and ``f``'s only consumer is the in-place
+        kernel (no XLA density pass, no protective copy)."""
         from ..ops.fused_mc import make_mc_halo_step, supports_mc_halo
 
         plan = self._kernel_plan()
@@ -599,6 +605,8 @@ class SimulationRunner:
         ny, nx = self.ny, self.nx
         P_ = q * C
         mesh = self._mesh
+        if mesh is not None and mesh.size == 1:
+            mesh = None   # a 1x1 mesh partitions nothing: skip shard_map
         my = 1
         if mesh is not None:
             if dict(mesh.shape).get("x", 1) != 1:
@@ -608,6 +616,9 @@ class SimulationRunner:
                 return None
         H = ny // my
         reach = int(max(max(abs(c) for c in self.lattice.cy), 1))
+        emit = ()
+        if dyn and my == 1 and self.lattice.q == 9 and reach == 1:
+            emit = tuple(sorted({d[0] for d in dyn}))
         if dyn:
             # Dynamic ext forces default to K=1 (the field is only valid
             # for the step it was computed from). stale_force=K opts into
@@ -620,16 +631,16 @@ class SimulationRunner:
             from ..ops.fused_mc import pick_mc_tiling
             while sf > 1 and pick_mc_tiling(
                     H, nx, C, cfg.belt, cfg.has_ext, sf,
-                    q=q, reach=reach) is None:
+                    q=q, reach=reach, emit=len(emit)) is None:
                 sf -= 1
             k_steps = sf
         if not supports_mc_halo(H, nx, C, cfg.belt, cfg.has_ext,
-                                q=q, reach=reach):
+                                q=q, reach=reach, emit=len(emit)):
             return None
         interpret = jax.default_backend() != "tpu"
         kernel = make_mc_halo_step(H=H, nx=nx, cfg=cfg, dtype=self.dtype,
                                    interpret=interpret, k_steps=k_steps,
-                                   lattice=self.lattice)
+                                   lattice=self.lattice, emit_src=emit)
         CH = kernel.chunk
         self.steps_per_call = kernel.k_steps
         dt = self.dtype
@@ -637,25 +648,29 @@ class SimulationRunner:
         static_ext_j = (jnp.asarray(static_ext, dt)
                         if static_ext is not None else None)
 
-        def build_ext(f):
+        def roll_density(f, src):
+            """Post-stream density of fluid ``src`` via periodic rolls."""
+            r = None
+            for j in range(q):
+                p = f[j, src]
+                if cy_np[j]:
+                    p = jnp.roll(p, cy_np[j], axis=0)
+                if cx_np[j]:
+                    p = jnp.roll(p, cx_np[j], axis=1)
+                r = p if r is None else r + p
+            return r
+
+        def assemble_ext(grad_rho):
             """Assemble the external per-fluid force planes: static fields
             plus the screened-Poisson repulsion (``multi.py:488-511``),
-            evaluated on the post-stream density (periodic rolls) so the
+            evaluated on the post-stream density ``grad_rho(src)`` so the
             kernel sees exactly the XLA path's force ordering. Planes are
             constructed directly (no zeros + scatter-add round trip: at
             8192^2 each full-ext pass is ~1 GB of HBM traffic)."""
             planes = ([static_ext_j[i] for i in range(2 * C)]
                       if static_ext_j is not None else [None] * (2 * C))
             for (src, tgt, vel, amp) in dyn:
-                r = None
-                for j in range(q):
-                    p = f[j, src]
-                    if cy_np[j]:
-                        p = jnp.roll(p, cy_np[j], axis=0)
-                    if cx_np[j]:
-                        p = jnp.roll(p, cx_np[j], axis=1)
-                    r = p if r is None else r + p
-                gx, gy = vel(r.astype(jnp.float32))
+                gx, gy = vel(grad_rho(src).astype(jnp.float32))
                 gx = (-amp * gx).astype(dt)
                 gy = (-amp * gy).astype(dt)
                 planes[tgt] = gx if planes[tgt] is None else planes[tgt] + gx
@@ -663,6 +678,26 @@ class SimulationRunner:
                                    else planes[C + tgt] + gy)
             zero = jnp.zeros((ny, nx), dt)
             return jnp.stack([p if p is not None else zero for p in planes])
+
+        def build_ext(f):
+            return assemble_ext(lambda src: roll_density(f, src))
+
+        if emit:
+            def kstep(carry):
+                f, rho_s = carry
+                flat = f.reshape(P_, ny, nx)
+                top = flat[:, ny - CH:, :]   # periodic wrap rows
+                bot = flat[:, :CH, :]
+                ext = assemble_ext(lambda src: rho_s[emit.index(src)])
+                out, rho_next = kernel(flat, top, bot, ext)
+                return out.reshape(q, C, ny, nx), rho_next
+
+            def init_carry(f):
+                return f, jnp.stack([roll_density(f, s) for s in emit])
+
+            kstep.carried = True
+            kstep.init_carry = init_carry
+            return kstep
 
         if mesh is None:
             def kstep(f):
@@ -767,9 +802,17 @@ class SimulationRunner:
             self.backend_used = "xla" if step is None else "kernel"
             if step is None:
                 step = self._step
-            self._run_jit = jax.jit(
-                lambda f, n: jax.lax.fori_loop(0, n, lambda i, s: step(s), f),
-                donate_argnums=0)
+
+            def _loop(st):
+                # density-emit steps carry (f, rho); the emitted density
+                # seeds from one roll pass per run() call, amortized
+                if getattr(st, "carried", False):
+                    return lambda f, n: jax.lax.fori_loop(
+                        0, n, lambda i, s: st(s), st.init_carry(f))[0]
+                return lambda f, n: jax.lax.fori_loop(
+                    0, n, lambda i, s: st(s), f)
+
+            self._run_jit = jax.jit(_loop(step), donate_argnums=0)
             if self.steps_per_call > 1:
                 # remainder steps run a K=1 kernel (NOT the XLA step: its
                 # unfused intermediates OOM at 8192^2); compiled only if a
@@ -779,10 +822,7 @@ class SimulationRunner:
                 self.steps_per_call = spc
                 if rem_step is None:
                     rem_step = self._step
-                self._run_rem = jax.jit(
-                    lambda f, n: jax.lax.fori_loop(
-                        0, n, lambda i, s: rem_step(s), f),
-                    donate_argnums=0)
+                self._run_rem = jax.jit(_loop(rem_step), donate_argnums=0)
         if timed and not getattr(self, "_warm", False):
             # compile + sync outside the timed region (cf. LBModel.run),
             # including the remainder path when this call will use it —

@@ -86,6 +86,7 @@ _NRHO = 4   # density ring depth (P_s reads chunks c-1, c, c+1)
 # at 8192^2 2-fluid.
 _NFO = 3
 _NOUT = 2   # HBM output ring depth
+_NEDGE = 3  # first/last-row ring depth for the density-emit stage
 _VMEM_BUDGET = 102 * 1024 * 1024
 _VMEM_LIMIT = 124 * 1024 * 1024   # pallas_call cap (v5e VMEM is 128 MB;
 # the K=3 8192^2 2-fluid ext config needs 118.9 MB = 100.5 MB rings +
@@ -164,23 +165,30 @@ def max_mc_k(CH: int, belt: int, reach: int = 1) -> int:
     return max(1, (CH - belt - reach) // (reach + belt) + 1)
 
 
-def _ring_bytes(CH, nx, C, K, has_ext, q=9):
+def _ring_bytes(CH, nx, C, K, has_ext, q=9, emit=0):
     P = q * C
     plane = CH * nx * 4
     planes = (_NIN * P + K * (_NFS * P + _NRHO * C)
               + (K - 1) * _NFO * P + _NOUT * P)
     if has_ext:
         planes += (2 * K + 3) * 2 * C
+    if emit:
+        # rho-out ring + the two (first/last)-row rings (sublane-padded)
+        planes += _NOUT * emit
+        planes += -(-(2 * _NEDGE * (-(-emit * q // 8) * 8)) // CH)
     return planes * plane
 
 
 def pick_mc_tiling(H: int, nx: int, C_fluids: int, belt: int = 1,
                    has_ext: bool = False,
                    k_steps: int | None = None,
-                   q: int = 9, reach: int = 1) -> tuple[int, int] | None:
+                   q: int = 9, reach: int = 1,
+                   emit: int = 0) -> tuple[int, int] | None:
     """Pick ``(CH, K)``: deepest temporal block first (ring traffic divides
     by K), largest chunk second; 8-row DMA alignment, >= 3 body chunks,
-    VMEM within budget, halo-validity cap :func:`max_mc_k`."""
+    VMEM within budget, halo-validity cap :func:`max_mc_k` (one step
+    tighter when emitting density — the D stage reads the halo chunks'
+    final-output inner rows, see :func:`_make_halo_kernel`)."""
     if nx % 128 != 0:
         return None
     for k in ((8, 6, 5, 4, 3, 2, 1) if k_steps is None else (k_steps,)):
@@ -189,16 +197,27 @@ def pick_mc_tiling(H: int, nx: int, C_fluids: int, belt: int = 1,
                 continue
             if k > max_mc_k(ch, belt, reach):
                 continue
-            if _ring_bytes(ch, nx, C_fluids, k, has_ext, q) <= _VMEM_BUDGET:
+            if emit and k * (reach + belt) > ch - 1:
+                continue
+            rb = _ring_bytes(ch, nx, C_fluids, k, has_ext, q, emit)
+            if emit:
+                # the phys-unroll + D-stage register spill scratch is
+                # CH-proportional (~70 chunk-planes measured at 8192^2
+                # 2-fluid); budget it explicitly and admit up to the
+                # pallas_call cap — the emit config sits closer to the
+                # 128 MB hardware edge than the others
+                if rb + 70 * ch * nx * 4 <= _VMEM_LIMIT:
+                    return ch, k
+            elif rb <= _VMEM_BUDGET:
                 return ch, k
     return None
 
 
 def supports_mc_halo(H: int, nx: int, C_fluids: int, belt: int = 1,
                      has_ext: bool = False, q: int = 9,
-                     reach: int = 1) -> bool:
+                     reach: int = 1, emit: int = 0) -> bool:
     return pick_mc_tiling(H, nx, C_fluids, belt, has_ext,
-                          q=q, reach=reach) is not None
+                          q=q, reach=reach, emit=emit) is not None
 
 
 def _make_halo_kernel(
@@ -215,6 +234,7 @@ def _make_halo_kernel(
     interpret: bool = False,
     flops_per_cell: int = 600,
     lattice=D2Q9,
+    emit_src: tuple = (),
 ):
     """Generic 2K-stage chunk-pipelined halo kernel over ``q*C`` planes.
 
@@ -229,6 +249,21 @@ def _make_halo_kernel(
     (``None`` when ``belt == 0``), and ``ext`` a list of ``n_ext``
     per-chunk external input planes; returns ``out[C][q]``.
 
+    ``emit_src`` (fluid indices, D2Q9 only) adds a density-emit stage
+    ``D``: one skew after the final physics stage, the kernel pull-streams
+    its own final output for those fluids and writes the resulting
+    densities as a second output ``[len(emit_src), H, nx]`` — the NEXT
+    step's post-stream density, i.e. exactly the field a dynamic-force
+    hook (the screened-Poisson repulsion, ``multi.py:488-511``) needs as
+    its input. Emitting it here removes both the XLA density pass over
+    ``f`` and the protective full-buffer copy XLA otherwise inserts
+    around the aliased in-place kernel (``f`` keeps a second consumer).
+    ``D(c)`` reads chunk ``c`` from the out ring plus single boundary
+    rows from two tiny first/last-row rings, so ring depths are
+    unchanged; the halo chunks' final outputs supply the periodic wrap
+    rows (their inner rows — valid while ``K (reach + belt) <= CH - 1``,
+    one step tighter than :func:`max_mc_k`).
+
     Used by the multicomponent engine (:func:`make_mc_halo_step`) and the
     surfactant / rocket-yeast kernels (:mod:`lb2d_tpu.ops.fused_coupled`).
     """
@@ -237,21 +272,29 @@ def _make_halo_kernel(
     if H % CH or K > max_mc_k(CH, belt, reach):
         raise ValueError(f"invalid halo tiling {H}x{nx} CH={CH} K={K}")
     assert belt + 2 <= CH or belt == 0, (belt, CH)
+    if emit_src:
+        if any(abs(c) > 1 for c in lattice.cy) or reach != 1:
+            raise ValueError("density emit needs a reach-1 lattice (D2Q9)")
+        if K * (reach + belt) > CH - 1:
+            raise ValueError(
+                f"density emit: K={K} too deep for CH={CH} (halo-output "
+                "inner rows must stay valid)")
     Cb = H // CH      # body chunks
     V = Cb + 2        # virtual chunks incl. the two halo chunks
     P = q * C
     NE = 2 * K + 3    # ext ring depth: ext[c] is read by every P_s
     has_ext = n_ext > 0
+    S = len(emit_src)
+    SQ = -(-S * q // 8) * 8 if S else 0   # sublane-padded row count
     cxs, cys = lattice.cx, lattice.cy
 
     def kernel(*refs):
-        if has_ext:
-            f_hbm, top_hbm, bot_hbm, ext_hbm, out_hbm = refs[:5]
-            rest = refs[5:]
-        else:
-            f_hbm, top_hbm, bot_hbm, out_hbm = refs[:4]
-            ext_hbm = None
-            rest = refs[4:]
+        nin = 4 if has_ext else 3
+        f_hbm, top_hbm, bot_hbm = refs[:3]
+        ext_hbm = refs[3] if has_ext else None
+        out_hbm = refs[nin]
+        rho_hbm = refs[nin + 1] if S else None
+        rest = refs[nin + (2 if S else 1):]
         idx = 0
         in_ring = rest[idx]; idx += 1
         fs_rings = rest[idx:idx + K]; idx += K
@@ -260,10 +303,20 @@ def _make_halo_kernel(
         out_ring = rest[idx]; idx += 1
         if has_ext:
             ext_ring = rest[idx]; idx += 1
-            sem_in, sem_ext, sem_out = rest[idx:]
         else:
             ext_ring = None
-            sem_in, sem_out = rest[idx:]
+        if S:
+            rho_out_ring = rest[idx]; idx += 1
+            edge_ring = rest[idx]; idx += 1    # last output row per chunk
+            first_ring = rest[idx]; idx += 1   # first output row per chunk
+        sems = rest[idx:]
+        sem_in = sems[0]
+        sems = sems[1:]
+        if has_ext:
+            sem_ext = sems[0]
+            sems = sems[1:]
+        sem_out = sems[0]
+        sem_rho = sems[1] if S else None
 
         def load(c):
             """DMA virtual chunk c: 0 -> top halo, 1..Cb -> f_loc chunk c-1,
@@ -379,6 +432,18 @@ def _make_halo_kernel(
                     for j in range(q):
                         fo_rings[s][c % _NFO, j * C + i, :, :] = out[i][j]
             else:
+                if S:
+                    # boundary rows of EVERY chunk's final output (incl.
+                    # the halo chunks: their inner rows are the periodic
+                    # wrap for the density-emit stage)
+                    for si, i in enumerate(emit_src):
+                        for j in range(q):
+                            sq = si * q + j
+                            edge_ring[c % _NEDGE, sq:sq + 1, :] = \
+                                out[i][j][CH - 1:CH, :]
+                            first_ring[c % _NEDGE, sq:sq + 1, :] = \
+                                out[i][j][0:1, :]
+
                 @pl.when((c >= 1) & (c <= Cb))
                 def _():
                     @pl.when(c >= _NOUT + 1)
@@ -389,6 +454,50 @@ def _make_halo_kernel(
                         for j in range(q):
                             out_ring[c % _NOUT, j * C + i, :, :] = out[i][j]
                     store(c).start()
+
+        def store_rho(c):
+            return pltpu.make_async_copy(
+                rho_out_ring.at[c % _NOUT],
+                rho_hbm.at[:, pl.ds(
+                    pl.multiple_of((c - 1) * CH, CH), CH), :],
+                sem_rho.at[c % _NOUT])
+
+        def density_stage(c):
+            """D: pull-stream the FINAL output (chunk c from the out ring,
+            boundary rows from the first/last-row rings) and reduce the
+            emit fluids' densities — the next step's post-stream density,
+            summed in build_ext's roll order so the emitted field is
+            bit-identical to the XLA pass it replaces. Runs BEFORE this
+            iteration's physics stages: P_{K-1}(c+2) reuses out-ring slot
+            c % _NOUT."""
+            cur = c % _NOUT
+            ep = (c - 1) % _NEDGE
+            fp = (c + 1) % _NEDGE
+
+            @pl.when(c >= _NOUT + 1)
+            def _():
+                store_rho(c - _NOUT).wait()
+
+            for si, i in enumerate(emit_src):
+                rho = None
+                for j in range(q):
+                    pi = j * C + i
+                    cxj, cyj = cxs[j], cys[j]
+                    sq = si * q + j
+                    if cyj > 0:     # reach == 1: cyj is +1
+                        rows = jnp.concatenate(
+                            [edge_ring[ep, sq:sq + 1, :],
+                             out_ring[cur, pi, 0:CH - 1, :]], axis=0)
+                    elif cyj < 0:
+                        rows = jnp.concatenate(
+                            [out_ring[cur, pi, 1:CH, :],
+                             first_ring[fp, sq:sq + 1, :]], axis=0)
+                    else:
+                        rows = out_ring[cur, pi, :, :]
+                    sj = _lane_roll(rows, cxj, nx)
+                    rho = sj if rho is None else rho + sj
+                rho_out_ring[c % _NOUT, si, :, :] = rho
+            store_rho(c).start()
 
         # prologue: three loads in flight
         load(0)
@@ -403,6 +512,14 @@ def _make_halo_kernel(
             @pl.when(k + 1 < V)
             def _():
                 load_wait(k + 1)
+
+            if S:
+                # D(c) at iteration c + 2K + 1, BEFORE the physics stages
+                # (P_{K-1}(c+2) overwrites out-ring slot c % _NOUT this
+                # same iteration)
+                @pl.when((k >= 2 * K + 2) & (k - 2 * K - 1 <= Cb))
+                def _():
+                    density_stage(k - 2 * K - 1)
 
             # interleave: S_0(k), P_0(k-1), S_1(k-2), P_1(k-3), ...
             for s in range(K):
@@ -419,10 +536,16 @@ def _make_halo_kernel(
                 load(k + 3)
             return 0
 
-        jax.lax.fori_loop(0, V + 2 * K - 2, body, 0)
+        # +2 iterations when emitting: P_{K-1}(V-1) must run (its inner
+        # boundary rows feed D(Cb)), then D(Cb) itself
+        jax.lax.fori_loop(0, V + 2 * K - 2 + (2 if S else 0), body, 0)
         if Cb >= 2:
             store(Cb - 1).wait()
         store(Cb).wait()
+        if S:
+            if Cb >= 2:
+                store_rho(Cb - 1).wait()
+            store_rho(Cb).wait()
 
     scratch = [pltpu.VMEM((_NIN, P, CH, nx), dtype)]
     scratch += [pltpu.VMEM((_NFS, P, CH, nx), dtype) for _ in range(K)]
@@ -431,10 +554,16 @@ def _make_halo_kernel(
     scratch += [pltpu.VMEM((_NOUT, P, CH, nx), dtype)]
     if has_ext:
         scratch.append(pltpu.VMEM((NE, n_ext, CH, nx), dtype))
+    if S:
+        scratch.append(pltpu.VMEM((_NOUT, S, CH, nx), dtype))
+        scratch.append(pltpu.VMEM((_NEDGE, SQ, nx), dtype))
+        scratch.append(pltpu.VMEM((_NEDGE, SQ, nx), dtype))
     scratch.append(pltpu.SemaphoreType.DMA((_NIN,)))
     if has_ext:
         scratch.append(pltpu.SemaphoreType.DMA((NE,)))
     scratch.append(pltpu.SemaphoreType.DMA((_NOUT,)))
+    if S:
+        scratch.append(pltpu.SemaphoreType.DMA((_NOUT,)))
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * (4 if has_ext else 3)
 
@@ -444,12 +573,20 @@ def _make_halo_kernel(
     # clobbers unread rows; the wrap/ppermute halos are separate buffers
     # materialized before the call. Halves the kernel's HBM footprint —
     # 4.8 GB at 8192^2 2-fluid, which is what lets BASELINE config 5 fit.
+    if S:
+        out_shape = (jax.ShapeDtypeStruct((P, H, nx), dtype),
+                     jax.ShapeDtypeStruct((S, H, nx), dtype))
+        out_specs = (pl.BlockSpec(memory_space=pl.ANY),
+                     pl.BlockSpec(memory_space=pl.ANY))
+    else:
+        out_shape = jax.ShapeDtypeStruct((P, H, nx), dtype)
+        out_specs = pl.BlockSpec(memory_space=pl.ANY)
     call = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((P, H, nx), dtype),
+        out_shape=out_shape,
         input_output_aliases={0: 0},
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=out_specs,
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -457,7 +594,7 @@ def _make_halo_kernel(
         ),
         cost_estimate=pl.CostEstimate(
             flops=K * flops_per_cell * H * nx,
-            bytes_accessed=(2 * P + n_ext) * H * nx * 4,
+            bytes_accessed=(2 * P + n_ext + S) * H * nx * 4,
             transcendentals=0,
         ),
     )
@@ -471,6 +608,7 @@ def _make_halo_kernel(
 
     step.chunk = CH
     step.k_steps = K
+    step.emit_src = tuple(emit_src)
     return step
 
 
@@ -504,6 +642,7 @@ def make_mc_halo_step(
     chunk: int | None = None,
     k_steps: int | None = None,
     lattice=D2Q9,
+    emit_src: tuple = (),
 ):
     """Build ``step(f_loc, top_halo, bot_halo [, g_ext]) -> f_loc`` advancing
     one y-shard of the multicomponent engine by ``k_steps`` LB steps.
@@ -514,14 +653,19 @@ def make_mc_halo_step(
     current time — the local wrap rows when unsharded); ``g_ext`` (iff
     ``cfg.has_ext``) is ``[2*C, H, nx]`` (Gx planes then Gy), applied
     identically at every internal step (callers force K=1 for step-varying
-    fields). The returned function has attributes ``chunk`` and ``k_steps``.
+    fields). With ``emit_src`` the step returns ``(f_loc, rho_next)``,
+    ``rho_next[len(emit_src), H, nx]`` = the named fluids' post-stream
+    densities ONE step ahead (see :func:`_make_halo_kernel`) — unsharded
+    callers only (the wrap rows come from the kernel's own halo-chunk
+    outputs). The returned function has attributes ``chunk``,
+    ``k_steps`` and ``emit_src``.
     """
     q = lattice.q
     reach = int(max(max(abs(c) for c in lattice.cy), 1))
     C = len(cfg.fluids)
     belt = cfg.belt
     tiling = pick_mc_tiling(H, nx, C, belt, cfg.has_ext, k_steps,
-                            q=q, reach=reach)
+                            q=q, reach=reach, emit=len(emit_src))
     if chunk is not None or k_steps is not None:
         CH = chunk if chunk is not None else (tiling[0] if tiling else None)
         K = k_steps if k_steps is not None else (tiling[1] if tiling else 1)
@@ -816,5 +960,5 @@ def make_mc_halo_step(
     return _make_halo_kernel(
         H=H, nx=nx, C=C, CH=CH, K=K, belt=belt,
         n_ext=2 * C if cfg.has_ext else 0, phys=phys, dtype=dtype,
-        interpret=interpret, lattice=lattice,
+        interpret=interpret, lattice=lattice, emit_src=emit_src,
         flops_per_cell=(35 * q) * C + 40 * len(cfg.interactions) * 8)

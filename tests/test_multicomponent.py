@@ -383,6 +383,34 @@ def test_stale_force_drift_vs_exact_is_bounded():
     assert diff / scale < 1e-2, diff / scale
 
 
+def test_emitted_density_matches_roll_oracle():
+    """The kernel's density-emit stage (D): the second output must equal
+    the post-stream density of the kernel's own f output computed by
+    periodic rolls — bit-identical (same summation order), at K=1 and at
+    a stale-force temporal depth."""
+    for stale in (None, 2):
+        sim = _aligned_runner("kernel", porous=True, ny=48)
+        sim.stale_force = stale
+        sim.add_interaction_force(0, 1, G_int=1.5, potential="shan_chen",
+                                  potential_parameters=[1.0])
+        sim.add_screened_poisson_force(0, 1, interaction_length=4.0,
+                                       amplitude=0.02)
+        step = sim._make_kernel_step()
+        assert getattr(step, "carried", False), "emit path not engaged"
+        carry = step.init_carry(sim.f)
+        f1, rho1 = step(carry)
+        lat = sim.lattice
+        r = 0.0
+        for j in range(lat.q):
+            p = f1[j, 0]
+            if lat.cy[j]:
+                p = jnp.roll(p, lat.cy[j], axis=0)
+            if lat.cx[j]:
+                p = jnp.roll(p, lat.cx[j], axis=1)
+            r = r + p
+        np.testing.assert_array_equal(np.asarray(rho1[0]), np.asarray(r))
+
+
 def test_run_k_steps_rebuilds_cached_step():
     """run(n, k_steps=K) after a cached build at a different depth must
     rebuild at the requested K, not silently reuse the old executable."""
