@@ -404,14 +404,19 @@ class SimulationRunner:
                           potential_parameters, SECOND_BELT_STENCIL)
 
     def add_screened_poisson_force(self, source_index, force_index,
-                                   interaction_length, amplitude):
+                                   interaction_length, amplitude,
+                                   precision="highest"):
         """Per-step spectral repulsion (``multi.py:488-511, 768-769``):
         ``G[force_index] += amplitude * grad(screen(rho[source_index]))``
-        with dx = 1."""
+        with dx = 1. ``precision="bf16x3"`` runs the Pallas solve's
+        matmuls as 3-pass split-bf16 instead of ``Precision.HIGHEST``
+        (~27% faster solve at 8192^2; relative gradient error ~3e-4
+        instead of ~5e-5 — bounded by
+        ``test_screened_force_bf16x3_close_to_highest``)."""
         from .waves import _ScreenedVelocity
 
         vel = _ScreenedVelocity(self.ny, self.nx, interaction_length,
-                                1.0, 1.0, 1.0)
+                                1.0, 1.0, 1.0, mm=precision)
         # _ScreenedVelocity returns -vc*ulb*grad with vc=ulb=1 -> -grad;
         # the reference adds +amplitude*grad, so negate.
         def force(rho, u, v, Gx, Gy):

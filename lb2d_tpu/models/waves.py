@@ -173,7 +173,8 @@ class _ScreenedVelocity:
     (``screened_poisson_waves.py:337-361``; axis note: xgrad varies along the
     reference's x-axis = our lane axis)."""
 
-    def __init__(self, ny, nx, lam, delta_x, vc, ulb, method="auto"):
+    def __init__(self, ny, nx, lam, delta_x, vc, ulb, method="auto",
+                 mm="highest"):
         # keep only 1-D frequency vectors as constants; the 2-D rescale /
         # gradient-multiplier fields are built in-graph per call (at 8192^2
         # each would be a 268 MB baked-in executable constant otherwise)
@@ -206,6 +207,10 @@ class _ScreenedVelocity:
         # mesh (ShardedCoupled, SimulationRunner.shard_over) clear this so
         # the partitionable matmul-DFT path runs instead.
         self.allow_pallas = True
+        # matmul mode for the Pallas passes: "highest" (bf16x6 fp32
+        # emulation, rel err ~5e-5 at 8192^2) or "bf16x3" (3 MXU passes,
+        # ~27% faster solve, rel err ~3e-4 — see ops/dft_pallas.py)
+        self.mm = mm
 
     def _fields(self):
         KX = self._fx[None, :]
@@ -233,7 +238,7 @@ class _ScreenedVelocity:
                     # (31.8 ms vs 54.1 ms at 8192^2 — see ops/dft_pallas.py)
                     xg, yg = screened_gradients_pl(
                         rho, self._fx, self._fy, self._gx, self._gy,
-                        self._lam2)
+                        self._lam2, mm=self.mm)
                     return self.scale * xg, self.scale * yg
                 # fused real-input half-spectrum solve (see
                 # lb2d_tpu/ops/dft.py module comment)

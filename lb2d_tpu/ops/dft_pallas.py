@@ -82,7 +82,8 @@ def _consts(n1: int, n2: int, inverse: bool):
 
 def make_axis0_dft(n: int, W: int, *, real_input: bool = False,
                    inverse: bool = False, out_rows: int | None = None,
-                   tw: int = 256, interpret: bool = False):
+                   tw: int = 256, interpret: bool = False,
+                   row_input: bool = False, mm: str = "highest"):
     """Build a 1-D DFT along axis 0 of ``[n, W]`` as one Pallas kernel.
 
     Returns ``fn(xr[, xi]) -> (yr, yi)`` with ``yr/yi`` of shape
@@ -90,6 +91,17 @@ def make_axis0_dft(n: int, W: int, *, real_input: bool = False,
     (``R = n`` when ``out_rows`` is None); callers slice ``[:out_rows]``.
     ``real_input`` drops the imaginary input (2 instead of 4 matmuls in
     step 1). 4-step: m = n2*a + b, k = c + n1*d.
+
+    ``row_input``: the inputs are given TRANSPOSED, ``[W, n]``, and each
+    ``[tw, n]`` row tile is transposed in VMEM — this fuses the XLA 2-D
+    transpose between solve passes into the kernel (one HBM round trip of
+    the transposed intermediate saved per plane).
+
+    ``mm``: matmul mode. ``"highest"`` = ``Precision.HIGHEST`` (bf16x6
+    fp32 emulation); ``"bf16x3"`` = manual 3-pass split-bf16 emulation
+    (``A_hi B_hi + A_hi B_lo + A_lo B_hi``, f32 accumulation) — half the
+    MXU passes, ~2-4x the rounding error (Mosaic has no ``Precision.HIGH``
+    lowering, so the split is done by hand).
     """
     fac = _factor(n)
     assert fac is not None, f"no 4-step factorization for n={n}"
@@ -103,8 +115,19 @@ def make_axis0_dft(n: int, W: int, *, real_input: bool = False,
     R = D * n1
     consts = [jnp.asarray(a) for a in _consts(n1, n2, inverse)]
 
-    dg = partial(jax.lax.dot_general, preferred_element_type=jnp.float32,
-                 precision=_PREC)
+    if mm == "bf16x3":
+        def dg(A, B, dimension_numbers):
+            d = partial(jax.lax.dot_general,
+                        preferred_element_type=jnp.float32,
+                        dimension_numbers=dimension_numbers)
+            Ah = A.astype(jnp.bfloat16)
+            Al = (A - Ah.astype(jnp.float32)).astype(jnp.bfloat16)
+            Bh = B.astype(jnp.bfloat16)
+            Bl = (B - Bh.astype(jnp.float32)).astype(jnp.bfloat16)
+            return d(Ah, Bh) + d(Ah, Bl) + d(Al, Bh)
+    else:
+        dg = partial(jax.lax.dot_general,
+                     preferred_element_type=jnp.float32, precision=_PREC)
 
     def kernel(*refs):
         if real_input:
@@ -113,10 +136,19 @@ def make_axis0_dft(n: int, W: int, *, real_input: bool = False,
         else:
             (xr_ref, xi_ref, f1c, f1s, f2c, f2s, twc, tws,
              or_ref, oi_ref) = refs
+
+        def load(ref):
+            if ref is None:
+                return None
+            if row_input:   # [tw, n] tile -> [n, tw] in VMEM
+                return jnp.transpose(ref[:], (1, 0))
+            return ref[:]
+
         # [n, TW] -> [a, b, w] (free: leading-dim split) -> [b, a, w]
-        tr = jnp.transpose(xr_ref[:].reshape(n1, n2, tw), (1, 0, 2))
-        ti = (None if xi_ref is None else
-              jnp.transpose(xi_ref[:].reshape(n1, n2, tw), (1, 0, 2)))
+        tr = jnp.transpose(load(xr_ref).reshape(n1, n2, tw), (1, 0, 2))
+        ti_full = load(xi_ref)
+        ti = (None if ti_full is None else
+              jnp.transpose(ti_full.reshape(n1, n2, tw), (1, 0, 2)))
         # step 1: inner DFT over a, batched over b:
         # T1[b, c, w] = sum_a F1[c, a] t[b, a, w]
         F1cb = jnp.broadcast_to(f1c[:], (n2, n1, n1))
@@ -148,8 +180,12 @@ def make_axis0_dft(n: int, W: int, *, real_input: bool = False,
 
     grid = (W // tw,)
     col = lambda i: (0, i)
+    row = lambda i: (i, 0)
     full = lambda i: (0, 0)
-    in_specs = [pl.BlockSpec((n, tw), col)] * (1 if real_input else 2)
+    if row_input:
+        in_specs = [pl.BlockSpec((tw, n), row)] * (1 if real_input else 2)
+    else:
+        in_specs = [pl.BlockSpec((n, tw), col)] * (1 if real_input else 2)
     in_specs += [pl.BlockSpec((n1, n1), full)] * 2
     in_specs += [pl.BlockSpec((n2, n2), full)] * 2
     in_specs += [pl.BlockSpec((n2, n1), full)] * 2
@@ -194,7 +230,8 @@ def _hpad(ny: int, n1: int) -> int:
     return min(-(-hy // 128) * 128, ny)
 
 
-def screened_gradients_pl(rho, fx, fy, gx, gy, lam2, interpret: bool = False):
+def screened_gradients_pl(rho, fx, fy, gx, gy, lam2, interpret: bool = False,
+                          mm: str = "highest"):
     """Drop-in Pallas replacement for
     :func:`lb2d_tpu.ops.dft.screened_gradients_mm` (same signature and
     semantics: screened-Poisson spectral gradients of a REAL field,
@@ -208,12 +245,14 @@ def screened_gradients_pl(rho, fx, fy, gx, gy, lam2, interpret: bool = False):
     # 1. forward along y: real input, half spectrum (+ pad rows to a
     #    multiple of n1; sliced away before the mirror)
     fwd_y = make_axis0_dft(ny, nx, real_input=True, out_rows=hp,
-                           interpret=interpret)
+                           interpret=interpret, mm=mm)
     Zr, Zi = fwd_y(rho)
     Zr, Zi = Zr[:hp], Zi[:hp]
-    # 2. transpose -> [x, ky_h]; forward along x (complex)
-    fwd_x = make_axis0_dft(nx, hp, real_input=False, interpret=interpret)
-    Xr, Xi = fwd_x(Zr.T, Zi.T)                   # [kx, ky_h]
+    # 2. forward along x (complex); the inter-pass transpose is fused into
+    #    the kernel (row_input: [tw, nx] tiles transposed in VMEM)
+    fwd_x = make_axis0_dft(nx, hp, real_input=False, interpret=interpret,
+                           row_input=True, mm=mm)
+    Xr, Xi = fwd_x(Zr, Zi)                       # [kx, ky_h]
     # 3. screening + gradient multipliers + Hermitian mirror + A+iB pack,
     #    in the transposed layout (kx rows, ky lanes). Head lanes
     #    ky = 0..ny/2 hold P = A + iB; tail lanes ky' > ny/2 hold
@@ -242,10 +281,10 @@ def screened_gradients_pl(rho, fx, fy, gx, gy, lam2, interpret: bool = False):
     Pi = jnp.concatenate([Pi_h[:, :hy], tail(Qi)], axis=1)
     # 4. inverse along x (rows): [kx, ky] -> [x, ky]
     inv_x = make_axis0_dft(nx, ny, real_input=False, inverse=True,
-                           interpret=interpret)
+                           interpret=interpret, mm=mm)
     Wr, Wi = inv_x(Pr, Pi)
-    # 5. transpose -> [ky, x]; inverse along y -> xg + i yg [y, x]
+    # 5. inverse along y (transpose fused as in step 2) -> xg + i yg [y, x]
     inv_y = make_axis0_dft(ny, nx, real_input=False, inverse=True,
-                           interpret=interpret)
-    Gr, Gi = inv_y(Wr.T, Wi.T)
+                           interpret=interpret, row_input=True, mm=mm)
+    Gr, Gi = inv_y(Wr, Wi)
     return Gr, Gi

@@ -78,6 +78,29 @@ def test_screened_gradients_pl_matches_mm(ny, nx):
                                atol=1e-4 * sc)
 
 
+def test_screened_force_bf16x3_close_to_highest():
+    """The opt-in bf16x3 matmul mode (3 MXU passes instead of HIGHEST's
+    fp32 emulation) stays within ~1e-3 relative of the highest-precision
+    solve — the bound documented on
+    ``SimulationRunner.add_screened_poisson_force(precision=)``.
+    (On the real chip: 3.0e-4 at 8192^2, benchmarks/probe_solve_prec.py.)"""
+    ny = nx = 256
+    rs = np.random.RandomState(2)
+    rho = jnp.asarray(rs.rand(ny, nx).astype(np.float32))
+    fx = jnp.asarray((np.fft.fftfreq(nx) * nx).astype(np.float32))
+    gxv = np.asarray(fx).copy()
+    gxv[nx // 2] = 0.0
+    gx = jnp.asarray(gxv)
+    lam2 = np.float32(25.0)
+    hi = screened_gradients_pl(rho, fx, fx, gx, gx, lam2, interpret=True)
+    lo = screened_gradients_pl(rho, fx, fx, gx, gx, lam2, interpret=True,
+                               mm="bf16x3")
+    sc = float(jnp.max(jnp.abs(hi[0])))
+    for a, b in zip(lo, hi):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1.5e-3 * sc)
+
+
 def test_supports_pallas_solve_gates():
     assert supports_pallas_solve(8192, 8192)
     assert not supports_pallas_solve(255, 256)   # odd ny
