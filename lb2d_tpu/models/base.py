@@ -28,9 +28,18 @@ class LBModel:
 
     def __init__(self):
         self._step = self.make_step()
-        self._run_compiled = jax.jit(
-            partial(_run_loop, self._step), donate_argnums=0
-        )
+        if getattr(self._step, "carried", False):
+            # density-emit steps carry (f, rho): the kernel's second
+            # output feeds the next step's solve; the carry seeds from one
+            # roll pass per run() call (amortized), and `f`'s only
+            # consumer inside the loop is the aliased in-place kernel
+            self._run_compiled = jax.jit(
+                partial(_run_carried_loop, self._step, self._step.init_carry),
+                donate_argnums=0)
+        else:
+            self._run_compiled = jax.jit(
+                partial(_run_loop, self._step), donate_argnums=0
+            )
         self.steps_taken = 0
         self.last_mlups = None
 
@@ -40,7 +49,12 @@ class LBModel:
         advances more than one (temporal blocking). Subclasses with
         ``steps_per_call > 1`` must set ``self._single_step``."""
         if not hasattr(self, "_single_step_jit"):
-            self._single_step_jit = jax.jit(self._single_step)
+            one = self._single_step
+            if getattr(one, "carried", False):
+                ic = one.init_carry
+                self._single_step_jit = jax.jit(lambda f: one(ic(f))[0])
+            else:
+                self._single_step_jit = jax.jit(one)
         return self._single_step_jit
 
     # -- to be provided by subclasses ---------------------------------------
@@ -106,6 +120,11 @@ class LBModel:
 
 def _run_loop(step, state, n):
     return jax.lax.fori_loop(0, n, lambda i, s: step(s), state)
+
+
+def _run_carried_loop(step, init_carry, state, n):
+    return jax.lax.fori_loop(0, n, lambda i, s: step(s),
+                             init_carry(state))[0]
 
 
 def _force_completion(state):

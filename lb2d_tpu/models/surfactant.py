@@ -74,7 +74,7 @@ class SurfactantNutrientWave(LBModel):
     def __init__(self, Lx=1.0, Ly=1.0, vc=1.0, lam=1.0, Dn=1.0 / 4.0, R0=5.0,
                  time_prefactor=1.0, N=50, seed=0, check_max_ulb=False,
                  mach_tolerance=0.1, dtype=jnp.float32, method="auto",
-                 stale_velocity=1):
+                 stale_velocity=1, solve_precision="highest"):
         # stale_velocity > 1: sweep-stale mode (see ScreenedFisherWave) —
         # one spectral solve per K-step kernel sweep instead of per step.
         self.stale_velocity = int(stale_velocity)
@@ -103,7 +103,8 @@ class SurfactantNutrientWave(LBModel):
         self.ny = int(np.round(N * Ly))
 
         self._velocity = _ScreenedVelocity(self.ny, self.nx, lam,
-                                           self.delta_x, vc, self.ulb, method)
+                                           self.delta_x, vc, self.ulb, method,
+                                           mm=solve_precision)
 
         rng = np.random.RandomState(seed)
         X, Y = np.meshgrid(np.arange(self.nx), np.arange(self.ny))
@@ -202,7 +203,13 @@ class SurfactantNutrientWave(LBModel):
         if self.dtype != jnp.float32:
             return None
         belt = 1 if self._clumpy else 0
-        if pick_coupled_tiling(ny, nx, belt, 2, K) is None:
+        # the density-emit D stage needs one more valid halo row per step
+        # (K (1+belt) <= CH-1): demote the requested sweep depth to the
+        # deepest feasible K rather than dropping off the kernel path
+        while K > 1 and pick_coupled_tiling(ny, nx, belt, 2, K,
+                                            emit=1) is None:
+            K -= 1
+        if pick_coupled_tiling(ny, nx, belt, 2, K, emit=1) is None:
             return None
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
@@ -213,7 +220,7 @@ class SurfactantNutrientWave(LBModel):
         kernel = make_surfactant_step(
             H=ny, nx=nx, omega=float(self.omega), omega_n=float(self.omega_n),
             lb_G=float(self.lb_G), dtype=self.dtype, interpret=interpret,
-            k_steps=K, **kw)
+            k_steps=K, emit=True, **kw)
         if K > 1:
             self.steps_per_call = K
             self._single_step = (self._make_kernel_step(
@@ -224,7 +231,7 @@ class SurfactantNutrientWave(LBModel):
         lat = self.lattice
         velocity = self._velocity
 
-        def step(f):
+        def roll_density(f):
             # post-stream population density via periodic rolls (exact
             # order match with the XLA step: velocity follows the move)
             r = None
@@ -235,13 +242,23 @@ class SurfactantNutrientWave(LBModel):
                 if lat.cx[j]:
                     p = jnp.roll(p, lat.cx[j], axis=1)
                 r = p if r is None else r + p
-            u, v = velocity(r)
+            return r
+
+        # density-emit carry (f, rho): see ScreenedFisherWave — the
+        # kernel's D stage supplies the next step's post-stream population
+        # density, removing both the roll pass and the protective copy
+        def step(carry):
+            f, rho = carry
+            u, v = velocity(rho[0])
             ext = jnp.stack([u, v]).astype(self.dtype)
             flat = f.reshape(P, ny, nx)
             top = flat[:, ny - CH:, :]
             bot = flat[:, :CH, :]
-            return kernel(flat, top, bot, ext).reshape(q, 2, ny, nx)
+            out, rho_next = kernel(flat, top, bot, ext)
+            return out.reshape(q, 2, ny, nx), rho_next
 
+        step.carried = True
+        step.init_carry = lambda f: (f, roll_density(f)[None])
         return step
 
     def device_field(self, name):

@@ -269,7 +269,7 @@ class ScreenedFisherWave(LBModel):
     def __init__(self, Lx=1.0, Ly=1.0, vc=1.0, lam=1.0, R0=5.0,
                  time_prefactor=1.0, N=50, seed=0, check_max_ulb=False,
                  mach_tolerance=0.1, dtype=jnp.float32, method="auto",
-                 stale_velocity=1):
+                 stale_velocity=1, solve_precision="highest"):
         # stale_velocity > 1: sweep-stale mode — the screened-Poisson
         # velocity is re-solved once per K-step kernel sweep instead of
         # every step (the advection field varies on the slow reaction
@@ -299,9 +299,12 @@ class ScreenedFisherWave(LBModel):
         self.nx = int(np.round(N * Lx))
         self.ny = int(np.round(N * Ly))
 
+        # solve_precision="bf16x3": 3-pass split-bf16 matmuls in the
+        # Pallas solve (27% faster at 8192^2, rel err ~3e-4 vs ~5e-5 —
+        # see add_screened_poisson_force / ops/dft_pallas.py)
         self._velocity = _ScreenedVelocity(self.ny, self.nx, lam,
                                            self.delta_x, vc, self.ulb,
-                                           method)
+                                           method, mm=solve_precision)
 
         X, Y = np.meshgrid(np.arange(self.nx), np.arange(self.ny))
         Xd = (X - self.nx // 2) / N
@@ -367,13 +370,16 @@ class ScreenedFisherWave(LBModel):
         ny, nx = self.ny, self.nx
         if self.dtype != jnp.float32:
             return None
-        if pick_coupled_tiling(ny, nx, 0, 2, K) is None:
+        # demote to the deepest emit-feasible sweep depth (see surfactant)
+        while K > 1 and pick_coupled_tiling(ny, nx, 0, 2, K, emit=1) is None:
+            K -= 1
+        if pick_coupled_tiling(ny, nx, 0, 2, K, emit=1) is None:
             return None
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         kernel = make_screened_fisher_step(
             H=ny, nx=nx, omega=float(self.omega), lb_G=float(self.lb_G),
-            dtype=self.dtype, interpret=interpret, k_steps=K)
+            dtype=self.dtype, interpret=interpret, k_steps=K, emit=True)
         if K > 1:
             self.steps_per_call = K
             self._single_step = (self._make_kernel_step(
@@ -382,7 +388,7 @@ class ScreenedFisherWave(LBModel):
         lat = self.lattice
         velocity = self._velocity
 
-        def step(f):
+        def roll_density(f):
             r = None
             for j in range(lat.q):
                 p = f[j]
@@ -391,12 +397,22 @@ class ScreenedFisherWave(LBModel):
                 if lat.cx[j]:
                     p = jnp.roll(p, lat.cx[j], axis=1)
                 r = p if r is None else r + p
-            u, v = velocity(r)
+            return r
+
+        # density-emit carry (f, rho): the kernel's own D stage supplies
+        # the next step's post-stream density (bit-identical to the roll
+        # pass), so `f` has a single consumer and XLA inserts no
+        # protective copy around the aliased in-place kernel
+        def step(carry):
+            f, rho = carry
+            u, v = velocity(rho[0])
             ext = jnp.stack([u, v]).astype(self.dtype)
             top = f[:, ny - CH:, :]
             bot = f[:, :CH, :]
             return kernel(f, top, bot, ext)
 
+        step.carried = True
+        step.init_carry = lambda f: (f, roll_density(f)[None])
         return step
 
     def mach_number(self) -> float:

@@ -54,11 +54,13 @@ POP = 0
 
 
 def pick_coupled_tiling(H: int, nx: int, belt: int = 1, n_ext: int = 0,
-                        k_steps: int | None = None):
+                        k_steps: int | None = None, emit: int = 0):
     """(CH, K) for a 2-field coupled kernel — same rules as the
     multicomponent picker (C=2 planes-wise; the ext-ring estimate with
     ``has_ext`` sizes 4 ext planes, an overestimate for the 2-plane
-    velocity input: conservative)."""
+    velocity input: conservative). ``emit``: density-emit plane count
+    (budgets the D-stage's register-spill scratch like
+    :func:`~lb2d_tpu.ops.fused_mc.pick_mc_tiling`)."""
     if nx % 128 != 0:
         return None
     for k in ((8, 6, 5, 4, 3, 2, 1) if k_steps is None else (k_steps,)):
@@ -67,7 +69,13 @@ def pick_coupled_tiling(H: int, nx: int, belt: int = 1, n_ext: int = 0,
                 continue
             if k > max_mc_k(ch, belt):
                 continue
-            if _ring_bytes(ch, nx, 2, k, n_ext > 0) <= _VMEM_BUDGET:
+            if emit and k * (1 + belt) > ch - 1:
+                continue
+            rb = _ring_bytes(ch, nx, 2, k, n_ext > 0, emit=emit)
+            if emit:
+                if rb + 40 * ch * nx * 4 <= _VMEM_BUDGET:
+                    return ch, k
+            elif rb <= _VMEM_BUDGET:
                 return ch, k
     return None
 
@@ -195,6 +203,7 @@ def make_screened_fisher_step(
     interpret: bool = False,
     chunk: int | None = None,
     k_steps: int = 1,
+    emit: bool = False,
 ):
     """Fused kernel for :class:`~lb2d_tpu.models.waves.
     ScreenedFisherWave`: one field, linear feq on the externally-supplied
@@ -203,11 +212,13 @@ def make_screened_fisher_step(
     re-solved every step, as in the reference); ``k_steps>1`` is the
     documented *sweep-stale* mode — the velocity planes are held constant
     for K internal steps, amortizing the global solve (the ext ring
-    machinery applies them identically at every stage)."""
+    machinery applies them identically at every stage). ``emit=True``
+    adds the density-emit output (the next step/sweep's solve input; see
+    :func:`~lb2d_tpu.ops.fused_mc._make_halo_kernel`)."""
     lattice = D2Q9
     q = lattice.q
     ws = lattice.w
-    tiling = pick_coupled_tiling(H, nx, 0, 2, k_steps)
+    tiling = pick_coupled_tiling(H, nx, 0, 2, k_steps, emit=int(emit))
     if tiling is None:
         raise ValueError(f"no screened-fisher tiling for {H}x{nx}")
     CH = chunk or tiling[0]
@@ -223,7 +234,8 @@ def make_screened_fisher_step(
 
     return _make_halo_kernel(
         H=H, nx=nx, C=1, CH=CH, K=k_steps, belt=0, n_ext=2, phys=phys,
-        dtype=dtype, interpret=interpret, flops_per_cell=120)
+        dtype=dtype, interpret=interpret, flops_per_cell=120,
+        emit_src=(0,) if emit else ())
 
 
 def make_surfactant_step(
@@ -240,6 +252,7 @@ def make_surfactant_step(
     interpret: bool = False,
     chunk: int | None = None,
     k_steps: int = 1,
+    emit: bool = False,
 ):
     """Fused kernel for :class:`~lb2d_tpu.models.surfactant.
     SurfactantNutrientWave` / ``ClumpySurfactantNutrientWave``. The
@@ -247,13 +260,14 @@ def make_surfactant_step(
     ``g_ext = [u, v]`` planes; K=1 re-solves it every step (exact,
     reference semantics); ``k_steps>1`` is the documented sweep-stale mode
     (velocity frozen for K internal steps). Plane layout ``j*2 + field``
-    (0 population, 1 nutrient)."""
+    (0 population, 1 nutrient). ``emit=True`` adds the population-density
+    emit output (the next step/sweep's solve input)."""
     lattice = D2Q9
     q = lattice.q
     ws = lattice.w
     cs2 = lattice.cs2
     belt = 1 if clumpy else 0
-    tiling = pick_coupled_tiling(H, nx, belt, 2, k_steps)
+    tiling = pick_coupled_tiling(H, nx, belt, 2, k_steps, emit=int(emit))
     if tiling is None:
         raise ValueError(f"no surfactant tiling for {H}x{nx}")
     CH = chunk or tiling[0]
@@ -290,4 +304,5 @@ def make_surfactant_step(
 
     return _make_halo_kernel(
         H=H, nx=nx, C=2, CH=CH, K=k_steps, belt=belt, n_ext=2, phys=phys,
-        dtype=dtype, interpret=interpret, flops_per_cell=250)
+        dtype=dtype, interpret=interpret, flops_per_cell=250,
+        emit_src=(POP,) if emit else ())

@@ -8,10 +8,11 @@ in :mod:`lb2d_tpu.models.multicomponent` is correct but roll-based (~500
 MLUPS at 512^2). This module fuses the entire step — stream, hydro,
 Shan-Chen interaction forces, porous drag, barycentric velocity, Guo-forced
 BGK, eating/growth collisions — into ONE kernel, and **temporally blocks**
-``k_steps`` LB steps into each HBM sweep (the manual-DMA ring sustains
-~300 GB/s on this chip, so a K=1 sweep of 2 fluids caps near 2 GLUPS;
-blocking divides the ring traffic by K exactly as the flow kernel's
-temporal path does, ``ops/fused.py``).
+``k_steps`` LB steps into each HBM sweep (the round-3 in-jit profile
+measured the K=1 ring at 594 GB/s — the XLA elementwise copy ceiling —
+with the physics fully DMA-hidden; blocking still divides the ring
+traffic by K exactly as the flow kernel's temporal path does,
+``ops/fused.py``).
 
 Structure: a ``2K``-stage software pipeline over CH-row chunks. Per LB step
 ``s`` there are two sub-stages, skewed two chunks apart so every read is

@@ -112,16 +112,23 @@ def _kernel_parity(model, steps=6, k_steps=None, ext_vel=False):
     for _ in range(steps):
         fx = xstep(fx)
     if ext_vel:
-        kstep = jax.jit(model._make_kernel_step(interpret=True))
+        raw = model._make_kernel_step(interpret=True)
         spc = 1
     else:
-        kstep = jax.jit(model._make_kernel_step(k_steps=k_steps,
-                                                interpret=True))
+        raw = model._make_kernel_step(k_steps=k_steps, interpret=True)
         spc = model.steps_per_call
+    kstep = jax.jit(raw)
     assert steps % spc == 0
-    fk = model.state
-    for _ in range(steps // spc):
-        fk = kstep(fk)
+    if getattr(raw, "carried", False):
+        # density-emit steps carry (f, rho)
+        carry = raw.init_carry(model.state)
+        for _ in range(steps // spc):
+            carry = kstep(carry)
+        fk = carry[0]
+    else:
+        fk = model.state
+        for _ in range(steps // spc):
+            fk = kstep(fk)
     return float(jnp.abs(fk - fx).max())
 
 

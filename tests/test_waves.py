@@ -155,12 +155,14 @@ def test_screened_fisher_kernel_parity():
 
     m = ScreenedFisherWave(Lx=1.0, Ly=1.0, vc=1.0, lam=0.5, R0=0.2, N=128)
     xs = jax.jit(m._make_xla_step())
-    ks = jax.jit(m._make_kernel_step(interpret=True))
-    fx = fk = m.state
+    raw = m._make_kernel_step(interpret=True)
+    ks = jax.jit(raw)
+    fx = m.state
+    carry = raw.init_carry(m.state)   # density-emit step carries (f, rho)
     for _ in range(5):
         fx = xs(fx)
-        fk = ks(fk)
-    np.testing.assert_allclose(np.asarray(fk), np.asarray(fx),
+        carry = ks(carry)
+    np.testing.assert_allclose(np.asarray(carry[0]), np.asarray(fx),
                                atol=5e-7, rtol=1e-5)
 
 
@@ -261,7 +263,7 @@ def test_screened_fisher_stale_velocity():
         rho = density(f)
         react = stale.lb_G * rho * (1.0 - rho)
         f = bgk(f, feq_linear(rho, u, v, lat), stale.omega) + w * react
-    sweep = jax.jit(stale._step)(stale.state)
+    sweep = jax.jit(stale._step)(stale._step.init_carry(stale.state))[0]
     np.testing.assert_allclose(np.asarray(sweep), np.asarray(f),
                                atol=5e-7, rtol=1e-5)
 
