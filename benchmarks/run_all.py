@@ -61,7 +61,9 @@ def bench_poiseuille(quick):
     sim = PipeFlow(diameter=1.5, rho=10.0, viscosity=5.0,
                    pressure_grad=-100.0, pipe_length=1.5 * 254.5 / 31,
                    N=31)  # 32 rows x 256 cols
-    steps = 200 if quick else 5000
+    # the resident kernel runs the whole run(n) as ONE launch; at 8k cells
+    # the axon tunnel's ~30 ms RTT swamps anything under ~10^5 steps/call
+    steps = 200 if quick else 200_000
     return "poiseuille 32x256", _measure(sim, steps), sim.backend
 
 
