@@ -612,40 +612,52 @@ class SimulationRunner:
         mesh = self._mesh
         if mesh is not None and mesh.size == 1:
             mesh = None   # a 1x1 mesh partitions nothing: skip shard_map
-        my = 1
+        my = mx = 1
         if mesh is not None:
-            if dict(mesh.shape).get("x", 1) != 1:
-                return None  # lane rolls need the full row on one shard
             my = dict(mesh.shape)["y"]
-            if ny % my:
+            mx = dict(mesh.shape).get("x", 1)
+            if ny % my or nx % mx:
                 return None
         H = ny // my
+        W = nx // mx
+        # 2-D meshes: the shard's body is W lanes, extended with one
+        # 128-lane strip ppermuted from each x-neighbor (cut from the
+        # y-extended arrays so diagonal corners arrive in two hops — the
+        # flow kernel's scheme, parallel/sharded.py)
+        BX = 128 if mx > 1 else 0
+        if BX and (W % 128 or W < 128):
+            return None
+        WE = W + 2 * BX
         reach = int(max(max(abs(c) for c in self.lattice.cy), 1))
         emit = ()
-        if dyn and my == 1 and self.lattice.q == 9 and reach == 1:
+        if (dyn and my == 1 and mx == 1 and self.lattice.q == 9
+                and reach == 1):
             emit = tuple(sorted({d[0] for d in dyn}))
         if dyn:
             # Dynamic ext forces default to K=1 (the field is only valid
             # for the step it was computed from). stale_force=K opts into
             # holding it for a K-step sweep — but only when the shard sees
-            # the whole y extent (my == 1): the kernel wraps halo ext rows
+            # the whole grid (1x1 mesh): the kernel wraps halo ext rows
             # shard-locally, which is only the true periodic wrap there.
-            sf = 1 if my > 1 else (self.stale_force or 1)
+            sf = 1 if (my > 1 or mx > 1) else (self.stale_force or 1)
             if k_steps is not None:
                 sf = min(sf, int(k_steps))
             from ..ops.fused_mc import pick_mc_tiling
             while sf > 1 and pick_mc_tiling(
-                    H, nx, C, cfg.belt, cfg.has_ext, sf,
+                    H, WE, C, cfg.belt, cfg.has_ext, sf,
                     q=q, reach=reach, emit=len(emit)) is None:
                 sf -= 1
             k_steps = sf
-        if not supports_mc_halo(H, nx, C, cfg.belt, cfg.has_ext,
+        if not supports_mc_halo(H, WE, C, cfg.belt, cfg.has_ext,
                                 q=q, reach=reach, emit=len(emit)):
             return None
+        if BX and k_steps is not None and k_steps * (1 + cfg.belt) > BX:
+            return None
         interpret = jax.default_backend() != "tpu"
-        kernel = make_mc_halo_step(H=H, nx=nx, cfg=cfg, dtype=self.dtype,
+        kernel = make_mc_halo_step(H=H, nx=WE, cfg=cfg, dtype=self.dtype,
                                    interpret=interpret, k_steps=k_steps,
-                                   lattice=self.lattice, emit_src=emit)
+                                   lattice=self.lattice, emit_src=emit,
+                                   x_ext=BX, body_w=W if BX else None)
         CH = kernel.chunk
         self.steps_per_call = kernel.k_steps
         dt = self.dtype
@@ -721,17 +733,33 @@ class SimulationRunner:
         from jax.sharding import PartitionSpec as Pspec
         from ..parallel.halo import _ring_shift
 
+        def x_extend(arr):
+            """[planes, rows, W] -> [planes, rows, W + 256] with 128-lane
+            strips ppermuted from the x-neighbors."""
+            left = arr[:, :, W - 128:]   # my last lanes -> next's left
+            right = arr[:, :, :128]      # my first lanes -> prev's right
+            left = _ring_shift(left, "x", +1)
+            right = _ring_shift(right, "x", -1)
+            return jnp.concatenate([left, arr, right], axis=2)
+
         def local(flat_loc, *ext_loc):
             top = flat_loc[:, H - CH:, :]
             bot = flat_loc[:, :CH, :]
             if my > 1:
                 top = _ring_shift(top, "y", +1)
                 bot = _ring_shift(bot, "y", -1)
+            if BX:
+                # strips cut AFTER the y exchange so the halo chunks'
+                # corner lanes carry the diagonal neighbors' data
+                flat_loc = x_extend(flat_loc)
+                top = x_extend(top)
+                bot = x_extend(bot)
+                ext_loc = tuple(x_extend(e) for e in ext_loc)
             if cfg.has_ext:
                 return kernel(flat_loc, top, bot, ext_loc[0])
             return kernel(flat_loc, top, bot)
 
-        spec = Pspec(None, "y", None)
+        spec = Pspec(None, "y", "x") if BX else Pspec(None, "y", None)
         if cfg.has_ext:
             sm = jax.shard_map(local, mesh=mesh, in_specs=(spec, spec),
                                out_specs=spec, check_vma=False)
@@ -774,9 +802,12 @@ class SimulationRunner:
             for desc in self._force_desc:
                 # dyn_ext entries carry a _ScreenedVelocity; its Pallas DFT
                 # solve is a custom call GSPMD cannot partition — force the
-                # partitionable matmul-DFT path under a real mesh
+                # partitionable matmul-DFT path under a real mesh (also
+                # over the CPU fft path: XLA's cpu fft thunk RET_CHECKs on
+                # the non-major layouts a 2-D-sharded operand produces)
                 if desc[0] == "dyn_ext" and hasattr(desc[3], "allow_pallas"):
                     desc[3].allow_pallas = False
+                    desc[3].method = "matmul"
         self.f = jax.device_put(self.f, s4)
         self.rho = jax.device_put(self.rho, s3)
         self.u_bary = jax.device_put(self.u_bary, s2)

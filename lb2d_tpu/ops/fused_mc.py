@@ -236,6 +236,8 @@ def _make_halo_kernel(
     flops_per_cell: int = 600,
     lattice=D2Q9,
     emit_src: tuple = (),
+    x_ext: int = 0,
+    body_w: int | None = None,
 ):
     """Generic 2K-stage chunk-pipelined halo kernel over ``q*C`` planes.
 
@@ -265,11 +267,30 @@ def _make_halo_kernel(
     rows (their inner rows — valid while ``K (reach + belt) <= CH - 1``,
     one step tighter than :func:`max_mc_k`).
 
+    ``x_ext`` (2-D meshes): ``nx`` is the WORKING width ``body_w +
+    2*x_ext`` — every input arrives x-halo-extended with one 128-lane
+    strip ppermuted from each x-neighbor (cut from the y-extended arrays
+    so diagonal corners arrive in two hops, as in
+    :func:`lb2d_tpu.parallel.sharded.make_sharded_temporal_step`). Lane
+    rolls wrap at the extended width; the wrap corruption creeps
+    ``1 + belt`` lanes per internal step from each strip edge, so the
+    stored body lanes stay exact while ``K (1 + belt) <= 128``. The
+    output is the ``body_w`` body lanes only (no in-place aliasing: the
+    extended input is a fresh concat each call anyway). Incompatible
+    with ``emit_src``.
+
     Used by the multicomponent engine (:func:`make_mc_halo_step`) and the
     surfactant / rocket-yeast kernels (:mod:`lb2d_tpu.ops.fused_coupled`).
     """
     q = lattice.q
     reach = int(max(max(abs(c) for c in lattice.cy), 1))
+    BX = int(x_ext)
+    W = int(body_w) if body_w is not None else nx
+    if BX:
+        assert not emit_src, "x-extended kernel cannot emit density"
+        assert BX == 128 and W % 128 == 0 and W >= 128
+        assert nx == W + 2 * BX, (nx, W, BX)
+        assert K * (1 + belt) <= BX
     if H % CH or K > max_mc_k(CH, belt, reach):
         raise ValueError(f"invalid halo tiling {H}x{nx} CH={CH} K={K}")
     assert belt + 2 <= CH or belt == 0, (belt, CH)
@@ -367,8 +388,11 @@ def _make_halo_kernel(
                     ext_ring.at[c % NE], sem_ext.at[c % NE]).wait()
 
         def store(c):
+            src = out_ring.at[c % _NOUT]
+            if BX:   # extended working width: commit the body lanes only
+                src = out_ring.at[c % _NOUT, :, :, pl.ds(BX, W)]
             return pltpu.make_async_copy(
-                out_ring.at[c % _NOUT],
+                src,
                 out_hbm.at[:, pl.ds(
                     pl.multiple_of((c - 1) * CH, CH), CH), :],
                 sem_out.at[c % _NOUT])
@@ -580,12 +604,14 @@ def _make_halo_kernel(
         out_specs = (pl.BlockSpec(memory_space=pl.ANY),
                      pl.BlockSpec(memory_space=pl.ANY))
     else:
-        out_shape = jax.ShapeDtypeStruct((P, H, nx), dtype)
+        out_shape = jax.ShapeDtypeStruct((P, H, W if BX else nx), dtype)
         out_specs = pl.BlockSpec(memory_space=pl.ANY)
     call = pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        input_output_aliases={0: 0},
+        # the x-extended input is a fresh concat (different shape from the
+        # body-lane output), so there is nothing to alias in place
+        input_output_aliases={} if BX else {0: 0},
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,
@@ -644,9 +670,15 @@ def make_mc_halo_step(
     k_steps: int | None = None,
     lattice=D2Q9,
     emit_src: tuple = (),
+    x_ext: int = 0,
+    body_w: int | None = None,
 ):
     """Build ``step(f_loc, top_halo, bot_halo [, g_ext]) -> f_loc`` advancing
     one y-shard of the multicomponent engine by ``k_steps`` LB steps.
+
+    ``x_ext``/``body_w``: 2-D-mesh mode — ``nx`` is the extended working
+    width and the output is the ``body_w`` body lanes (see
+    :func:`_make_halo_kernel`).
 
     ``f_loc`` is ``[q*C, H, nx]`` (plane ``j*C + i`` = direction j of fluid
     i); ``top_halo``/``bot_halo`` are one CH-row chunk each,
@@ -962,4 +994,5 @@ def make_mc_halo_step(
         H=H, nx=nx, C=C, CH=CH, K=K, belt=belt,
         n_ext=2 * C if cfg.has_ext else 0, phys=phys, dtype=dtype,
         interpret=interpret, lattice=lattice, emit_src=emit_src,
+        x_ext=x_ext, body_w=body_w,
         flops_per_cell=(35 * q) * C + 40 * len(cfg.interactions) * 8)

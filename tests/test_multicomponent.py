@@ -251,6 +251,42 @@ def test_kernel_sharded_parity():
                                atol=5e-7, rtol=1e-5)
 
 
+def test_kernel_sharded_parity_2d_mesh():
+    """The mc kernel on a 2-D mesh: x-neighbor 128-lane strips (cut from
+    the y-extended arrays, so corners arrive in two hops) keep x-sharded
+    meshes on the kernel path. Parity vs the unsharded XLA step on a
+    virtual 2x2 mesh, with the Shan-Chen belt + screened repulsion."""
+    from lb2d_tpu.parallel.sharded import make_mesh
+
+    def build(backend):
+        sim = SimulationRunner(nx=256, ny=48, L_lb=256, T_lb=1.0,
+                               num_populations=2, porous=True,
+                               backend=backend)
+        for i in range(2):
+            sim.add_fluid(Fluid(sim, i, nu_e=0.5, epsilon=0.8,
+                                nu_fluid=0.4, K=2.0, Fe=0.5))
+        sim.complete_setup()
+        rng = np.random.RandomState(3)
+        base = 0.5 + 0.05 * rng.rand(sim.ny, sim.nx)
+        sim.fluid_list[0].initialize(base)
+        sim.fluid_list[1].initialize(1.0 - base)
+        sim.add_interaction_force(0, 1, G_int=1.5, potential="shan_chen",
+                                  potential_parameters=[1.0])
+        sim.add_screened_poisson_force(0, 1, interaction_length=4.0,
+                                       amplitude=0.02)
+        return sim
+
+    ref = build("xla")
+    ref.run(5)
+
+    sh = build("kernel")
+    sh.shard_over(make_mesh(4, shape=(2, 2)))
+    sh.run(5)
+    assert sh.backend_used == "kernel"
+    np.testing.assert_allclose(np.asarray(sh.f), np.asarray(ref.f),
+                               atol=5e-7, rtol=1e-5)
+
+
 def test_kernel_fallbacks():
     """Ineligible configurations silently fall back to XLA in auto mode."""
     # unaligned grid
