@@ -371,9 +371,10 @@ class ScreenedFisherWave(LBModel):
         if self.dtype != jnp.float32:
             return None
         # demote to the deepest emit-feasible sweep depth (see surfactant)
-        while K > 1 and pick_coupled_tiling(ny, nx, 0, 2, K, emit=1) is None:
+        while K > 1 and pick_coupled_tiling(ny, nx, 0, 2, K, emit=1,
+                                            C=1) is None:
             K -= 1
-        if pick_coupled_tiling(ny, nx, 0, 2, K, emit=1) is None:
+        if pick_coupled_tiling(ny, nx, 0, 2, K, emit=1, C=1) is None:
             return None
         if interpret is None:
             interpret = jax.default_backend() != "tpu"

@@ -54,12 +54,15 @@ POP = 0
 
 
 def pick_coupled_tiling(H: int, nx: int, belt: int = 1, n_ext: int = 0,
-                        k_steps: int | None = None, emit: int = 0):
-    """(CH, K) for a 2-field coupled kernel — same rules as the
-    multicomponent picker (C=2 planes-wise; the ext-ring estimate with
-    ``has_ext`` sizes 4 ext planes, an overestimate for the 2-plane
-    velocity input: conservative). ``emit``: density-emit plane count
-    (budgets the D-stage's register-spill scratch like
+                        k_steps: int | None = None, emit: int = 0,
+                        C: int = 2):
+    """(CH, K) for a coupled-family kernel — same rules as the
+    multicomponent picker (the ext-ring estimate with ``has_ext`` sizes
+    ``2 C`` ext planes, an overestimate for the 2-plane velocity input:
+    conservative). ``C``: plane-count fields (1 for the screened-Fisher
+    kernel — sizing it at 2 halved the feasible temporal depth at
+    8192^2). ``emit``: density-emit plane count (budgets the D-stage's
+    register-spill scratch like
     :func:`~lb2d_tpu.ops.fused_mc.pick_mc_tiling`)."""
     if nx % 128 != 0:
         return None
@@ -71,7 +74,7 @@ def pick_coupled_tiling(H: int, nx: int, belt: int = 1, n_ext: int = 0,
                 continue
             if emit and k * (1 + belt) > ch - 1:
                 continue
-            rb = _ring_bytes(ch, nx, 2, k, n_ext > 0, emit=emit)
+            rb = _ring_bytes(ch, nx, C, k, n_ext > 0, emit=emit)
             if emit:
                 if rb + 40 * ch * nx * 4 <= _VMEM_BUDGET:
                     return ch, k
@@ -218,7 +221,7 @@ def make_screened_fisher_step(
     lattice = D2Q9
     q = lattice.q
     ws = lattice.w
-    tiling = pick_coupled_tiling(H, nx, 0, 2, k_steps, emit=int(emit))
+    tiling = pick_coupled_tiling(H, nx, 0, 2, k_steps, emit=int(emit), C=1)
     if tiling is None:
         raise ValueError(f"no screened-fisher tiling for {H}x{nx}")
     CH = chunk or tiling[0]
