@@ -633,6 +633,15 @@ class SimulationRunner:
         if (dyn and my == 1 and mx == 1 and self.lattice.q == 9
                 and reach == 1):
             emit = tuple(sorted({d[0] for d in dyn}))
+        # sparse ext layout when only dynamic hooks force the fluids: one
+        # (Gx, Gy) plane pair per hook instead of the dense 2C planes —
+        # no all-zero planes through HBM and the kernel's ext rings
+        ext_map = None
+        if dyn and static_ext is None:
+            ext_map = tuple(p for (_, tgt, _, _) in dyn
+                            for p in ((tgt, 0), (tgt, 1)))
+        n_ext = (len(ext_map) if ext_map is not None
+                 else (2 * C if cfg.has_ext else 0))
         if dyn:
             # Dynamic ext forces default to K=1 (the field is only valid
             # for the step it was computed from). stale_force=K opts into
@@ -645,11 +654,12 @@ class SimulationRunner:
             from ..ops.fused_mc import pick_mc_tiling
             while sf > 1 and pick_mc_tiling(
                     H, WE, C, cfg.belt, cfg.has_ext, sf,
-                    q=q, reach=reach, emit=len(emit)) is None:
+                    q=q, reach=reach, emit=len(emit), n_ext=n_ext) is None:
                 sf -= 1
             k_steps = sf
         if not supports_mc_halo(H, WE, C, cfg.belt, cfg.has_ext,
-                                q=q, reach=reach, emit=len(emit)):
+                                q=q, reach=reach, emit=len(emit),
+                                n_ext=n_ext):
             return None
         if BX and k_steps is not None and k_steps * (1 + cfg.belt) > BX:
             return None
@@ -657,7 +667,8 @@ class SimulationRunner:
         kernel = make_mc_halo_step(H=H, nx=WE, cfg=cfg, dtype=self.dtype,
                                    interpret=interpret, k_steps=k_steps,
                                    lattice=self.lattice, emit_src=emit,
-                                   x_ext=BX, body_w=W if BX else None)
+                                   x_ext=BX, body_w=W if BX else None,
+                                   ext_map=ext_map)
         CH = kernel.chunk
         self.steps_per_call = kernel.k_steps
         dt = self.dtype
@@ -678,12 +689,21 @@ class SimulationRunner:
             return r
 
         def assemble_ext(grad_rho):
-            """Assemble the external per-fluid force planes: static fields
-            plus the screened-Poisson repulsion (``multi.py:488-511``),
-            evaluated on the post-stream density ``grad_rho(src)`` so the
-            kernel sees exactly the XLA path's force ordering. Planes are
-            constructed directly (no zeros + scatter-add round trip: at
-            8192^2 each full-ext pass is ~1 GB of HBM traffic)."""
+            """Assemble the external force planes: static fields plus the
+            screened-Poisson repulsion (``multi.py:488-511``), evaluated
+            on the post-stream density ``grad_rho(src)`` so the kernel
+            sees exactly the XLA path's force ordering. With the sparse
+            ``ext_map`` layout only the forced planes exist (no zeros +
+            scatter-add round trip — at 8192^2 each full-ext pass is ~1 GB
+            of HBM traffic, and the dense layout shipped 2 all-zero
+            planes on top)."""
+            if ext_map is not None:
+                planes = []
+                for (src, tgt, vel, amp) in dyn:
+                    gx, gy = vel(grad_rho(src).astype(jnp.float32))
+                    planes.append((-amp * gx).astype(dt))
+                    planes.append((-amp * gy).astype(dt))
+                return jnp.stack(planes)
             planes = ([static_ext_j[i] for i in range(2 * C)]
                       if static_ext_j is not None else [None] * (2 * C))
             for (src, tgt, vel, amp) in dyn:

@@ -166,13 +166,13 @@ def max_mc_k(CH: int, belt: int, reach: int = 1) -> int:
     return max(1, (CH - belt - reach) // (reach + belt) + 1)
 
 
-def _ring_bytes(CH, nx, C, K, has_ext, q=9, emit=0):
+def _ring_bytes(CH, nx, C, K, has_ext, q=9, emit=0, n_ext=None):
     P = q * C
     plane = CH * nx * 4
     planes = (_NIN * P + K * (_NFS * P + _NRHO * C)
               + (K - 1) * _NFO * P + _NOUT * P)
     if has_ext:
-        planes += (2 * K + 3) * 2 * C
+        planes += (2 * K + 3) * (2 * C if n_ext is None else n_ext)
     if emit:
         # rho-out ring + the two (first/last)-row rings (sublane-padded)
         planes += _NOUT * emit
@@ -184,7 +184,8 @@ def pick_mc_tiling(H: int, nx: int, C_fluids: int, belt: int = 1,
                    has_ext: bool = False,
                    k_steps: int | None = None,
                    q: int = 9, reach: int = 1,
-                   emit: int = 0) -> tuple[int, int] | None:
+                   emit: int = 0,
+                   n_ext: int | None = None) -> tuple[int, int] | None:
     """Pick ``(CH, K)``: deepest temporal block first (ring traffic divides
     by K), largest chunk second; 8-row DMA alignment, >= 3 body chunks,
     VMEM within budget, halo-validity cap :func:`max_mc_k` (one step
@@ -200,7 +201,8 @@ def pick_mc_tiling(H: int, nx: int, C_fluids: int, belt: int = 1,
                 continue
             if emit and k * (reach + belt) > ch - 1:
                 continue
-            rb = _ring_bytes(ch, nx, C_fluids, k, has_ext, q, emit)
+            rb = _ring_bytes(ch, nx, C_fluids, k, has_ext, q, emit,
+                             n_ext=n_ext)
             if emit:
                 # the phys-unroll + D-stage register spill scratch is
                 # CH-proportional (~70 chunk-planes measured at 8192^2
@@ -216,9 +218,10 @@ def pick_mc_tiling(H: int, nx: int, C_fluids: int, belt: int = 1,
 
 def supports_mc_halo(H: int, nx: int, C_fluids: int, belt: int = 1,
                      has_ext: bool = False, q: int = 9,
-                     reach: int = 1, emit: int = 0) -> bool:
-    return pick_mc_tiling(H, nx, C_fluids, belt, has_ext,
-                          q=q, reach=reach, emit=emit) is not None
+                     reach: int = 1, emit: int = 0,
+                     n_ext: int | None = None) -> bool:
+    return pick_mc_tiling(H, nx, C_fluids, belt, has_ext, q=q, reach=reach,
+                          emit=emit, n_ext=n_ext) is not None
 
 
 def _make_halo_kernel(
@@ -672,6 +675,7 @@ def make_mc_halo_step(
     emit_src: tuple = (),
     x_ext: int = 0,
     body_w: int | None = None,
+    ext_map: tuple | None = None,
 ):
     """Build ``step(f_loc, top_halo, bot_halo [, g_ext]) -> f_loc`` advancing
     one y-shard of the multicomponent engine by ``k_steps`` LB steps.
@@ -679,6 +683,13 @@ def make_mc_halo_step(
     ``x_ext``/``body_w``: 2-D-mesh mode — ``nx`` is the extended working
     width and the output is the ``body_w`` body lanes (see
     :func:`_make_halo_kernel`).
+
+    ``ext_map``: layout of the external force planes as ``(fluid, axis)``
+    pairs (axis 0 = Gx, 1 = Gy), one per ``g_ext`` plane. ``None`` = the
+    dense default ``[Gx_0..Gx_{C-1}, Gy_0..Gy_{C-1}]``. A sparse map
+    avoids shipping all-zero planes when only one fluid is forced (the
+    config-5 repulsion: 2 planes instead of 4 — ~1 GB/step of HBM at
+    8192^2 2-fluid).
 
     ``f_loc`` is ``[q*C, H, nx]`` (plane ``j*C + i`` = direction j of fluid
     i); ``top_halo``/``bot_halo`` are one CH-row chunk each,
@@ -697,8 +708,13 @@ def make_mc_halo_step(
     reach = int(max(max(abs(c) for c in lattice.cy), 1))
     C = len(cfg.fluids)
     belt = cfg.belt
+    if ext_map is None and cfg.has_ext:
+        ext_map = tuple((i, 0) for i in range(C)) + \
+            tuple((i, 1) for i in range(C))
+    n_ext = len(ext_map) if ext_map else 0
     tiling = pick_mc_tiling(H, nx, C, belt, cfg.has_ext, k_steps,
-                            q=q, reach=reach, emit=len(emit_src))
+                            q=q, reach=reach, emit=len(emit_src),
+                            n_ext=n_ext)
     if chunk is not None or k_steps is not None:
         CH = chunk if chunk is not None else (tiling[0] if tiling else None)
         K = k_steps if k_steps is not None else (tiling[1] if tiling else 1)
@@ -779,9 +795,8 @@ def make_mc_halo_step(
                 G[i] = val if G[i] is None else G[i] + val
 
             if cfg.has_ext:
-                for i in range(C):
-                    _acc(Gx, i, ext[i])
-                    _acc(Gy, i, ext[C + i])
+                for p, (i, ax) in enumerate(ext_map):
+                    _acc(Gx if ax == 0 else Gy, i, ext[p])
             for i, fx_, fy_ in cfg.const_forces:
                 _acc(Gx, i, jnp.full_like(rho[i], np.asarray(fx_, dtype)))
                 _acc(Gy, i, jnp.full_like(rho[i], np.asarray(fy_, dtype)))
@@ -992,7 +1007,7 @@ def make_mc_halo_step(
 
     return _make_halo_kernel(
         H=H, nx=nx, C=C, CH=CH, K=K, belt=belt,
-        n_ext=2 * C if cfg.has_ext else 0, phys=phys, dtype=dtype,
+        n_ext=n_ext, phys=phys, dtype=dtype,
         interpret=interpret, lattice=lattice, emit_src=emit_src,
         x_ext=x_ext, body_w=body_w,
         flops_per_cell=(35 * q) * C + 40 * len(cfg.interactions) * 8)
