@@ -15,18 +15,20 @@ s at ``Precision.HIGHEST``, and the tile is written once. HBM traffic per
 pass is exactly read + write; no intermediate spills.
 
 The screened-gradient solve (reference:
-``spectral_poisson/screened_poisson.py:38-89``) becomes 3 kernel passes +
-2 XLA 2-D transposes (which XLA does at near-bandwidth) + one elementwise
-multiplier/mirror/pack stage:
+``spectral_poisson/screened_poisson.py:38-89``) becomes 4 kernel passes
+(the inter-pass transposes are fused into the x/y passes as ``row_input``
+tiles transposed in VMEM) + one elementwise multiplier/mirror/pack stage:
 
     rho [y, x] --fwd-y (real, half-spectrum)--> Z [ky_h, x]
-    Z^T [x, ky_h] --fwd-x (complex)--> X [kx, ky_h]
+    Z --fwd-x (complex, row-input)--> X [kx, ky_h]
     multipliers + Hermitian mirror + A+iB packing (lane flips, XLA)
     P [kx, ky] --inv-x--> W [x, ky]
-    W^T [ky, x] --inv-y--> xg + i yg [y, x]
+    W --inv-y (row-input)--> xg + i yg [y, x]
 
 Numerics match :func:`lb2d_tpu.ops.dft.screened_gradients_mm` to ~1e-5
-relative (same HIGHEST-precision matmuls, same packed-Hermitian inverse).
+relative (same HIGHEST-precision matmuls, same packed-Hermitian inverse);
+``mm="bf16x3"`` trades to ~3e-4 for half the MXU passes (23.1 vs 30.2 ms
+at 8192^2).
 """
 
 from __future__ import annotations
