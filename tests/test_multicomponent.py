@@ -419,6 +419,27 @@ def test_stale_force_drift_vs_exact_is_bounded():
     assert diff / scale < 1e-2, diff / scale
 
 
+def test_kernel_parity_static_plus_dynamic_ext():
+    """Dense ext path with BOTH a static force field (radial body force)
+    and a dynamic hook (screened repulsion) registered — the sparse
+    ext_map only engages when no static fields exist, so this pins the
+    combined layout (and emission on top of it)."""
+    sims = {}
+    for backend in ("kernel", "xla"):
+        sim = _aligned_runner(backend, porous=True, ny=48)
+        sim.add_radial_body_force(0, 64.0, 24.0, 1e-5, 1.0)
+        sim.add_interaction_force(0, 1, G_int=1.5, potential="shan_chen",
+                                  potential_parameters=[1.0])
+        sim.add_screened_poisson_force(0, 1, interaction_length=4.0,
+                                       amplitude=0.02)
+        sim.run(5)
+        sims[backend] = sim
+    assert sims["kernel"].backend_used == "kernel"
+    np.testing.assert_allclose(np.asarray(sims["kernel"].f),
+                               np.asarray(sims["xla"].f),
+                               atol=5e-7, rtol=1e-5)
+
+
 def test_emitted_density_matches_roll_oracle():
     """The kernel's density-emit stage (D): the second output must equal
     the post-stream density of the kernel's own f output computed by
