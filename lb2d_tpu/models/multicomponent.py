@@ -657,6 +657,14 @@ class SimulationRunner:
                     q=q, reach=reach, emit=len(emit), n_ext=n_ext) is None:
                 sf -= 1
             k_steps = sf
+        if cfg.has_ext and (my > 1 or mx > 1):
+            # STATIC ext fields must also stay at K=1 on a sharded mesh:
+            # the kernel wraps halo ext rows shard-locally (see load()),
+            # which is the true field only when the shard covers the whole
+            # grid — at K>1 the halo chunks' stage-0 physics would run on
+            # the wrong force rows and feed later stages' stream halos
+            # (regression: test_sharded_static_ext_forces_k1)
+            k_steps = 1
         if not supports_mc_halo(H, WE, C, cfg.belt, cfg.has_ext,
                                 q=q, reach=reach, emit=len(emit),
                                 n_ext=n_ext):

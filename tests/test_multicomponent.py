@@ -440,6 +440,39 @@ def test_kernel_parity_static_plus_dynamic_ext():
                                atol=5e-7, rtol=1e-5)
 
 
+def test_sharded_static_ext_forces_k1():
+    """A STATIC ext force field (radial) on a y-sharded mesh must pin the
+    kernel to K=1: the kernel's halo ext rows are the shard-local wrap,
+    which is wrong for a shard's true neighbors at K>1 (found as a 0.11
+    max-abs divergence at K=8 on a 4x1 mesh; dyn hooks were already
+    gated). Parity vs the unsharded XLA step over two would-be sweeps."""
+    from lb2d_tpu.parallel.sharded import make_mesh
+
+    def build(backend):
+        sim = SimulationRunner(nx=128, ny=96, L_lb=128, T_lb=1.0,
+                               num_populations=2, porous=True,
+                               backend=backend)
+        for i in range(2):
+            sim.add_fluid(Fluid(sim, i, nu_e=0.5, epsilon=0.8,
+                                nu_fluid=0.4, K=2.0, Fe=0.5))
+        sim.complete_setup()
+        rng = np.random.RandomState(3)
+        base = 0.5 + 0.05 * rng.rand(sim.ny, sim.nx)
+        sim.fluid_list[0].initialize(base)
+        sim.fluid_list[1].initialize(1.0 - base)
+        sim.add_radial_body_force(0, 64.0, 48.0, 1e-3, 1.0)
+        return sim
+
+    ref = build("xla")
+    ref.run(16)
+    sh = build("kernel")
+    sh.shard_over(make_mesh(4, shape=(4, 1)))
+    sh.run(16)
+    assert sh.backend_used == "kernel" and sh.steps_per_call == 1
+    np.testing.assert_allclose(np.asarray(sh.f), np.asarray(ref.f),
+                               atol=5e-7, rtol=1e-5)
+
+
 def test_emitted_density_matches_roll_oracle():
     """The kernel's density-emit stage (D): the second output must equal
     the post-stream density of the kernel's own f output computed by
