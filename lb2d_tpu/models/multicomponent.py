@@ -657,13 +657,17 @@ class SimulationRunner:
                     q=q, reach=reach, emit=len(emit), n_ext=n_ext) is None:
                 sf -= 1
             k_steps = sf
-        if cfg.has_ext and (my > 1 or mx > 1):
-            # STATIC ext fields must also stay at K=1 on a sharded mesh:
-            # the kernel wraps halo ext rows shard-locally (see load()),
-            # which is the true field only when the shard covers the whole
-            # grid — at K>1 the halo chunks' stage-0 physics would run on
-            # the wrong force rows and feed later stages' stream halos
-            # (regression: test_sharded_static_ext_forces_k1)
+        # Halo ext rows: the kernel's ext ring wraps them shard-locally,
+        # which is the true field only when the shard covers the whole
+        # grid — at K>1 the halo chunks' stage-0 physics would otherwise
+        # run on the wrong force rows and feed later stages' stream halos
+        # (found as a 0.11 divergence on a 4x1 mesh at K=8; regression:
+        # test_sharded_static_ext_forces). STATIC fields on a sharded
+        # mesh therefore ppermute the true neighbor ext halo chunks
+        # (ext_halos=True, K stays free); dynamic hooks are already
+        # pinned to K=1 there, where halo ext values are never consumed.
+        ext_halos = bool(cfg.has_ext) and (my > 1 or mx > 1) and not dyn
+        if dyn and (my > 1 or mx > 1):
             k_steps = 1
         if not supports_mc_halo(H, WE, C, cfg.belt, cfg.has_ext,
                                 q=q, reach=reach, emit=len(emit),
@@ -676,7 +680,7 @@ class SimulationRunner:
                                    interpret=interpret, k_steps=k_steps,
                                    lattice=self.lattice, emit_src=emit,
                                    x_ext=BX, body_w=W if BX else None,
-                                   ext_map=ext_map)
+                                   ext_map=ext_map, ext_halos=ext_halos)
         CH = kernel.chunk
         self.steps_per_call = kernel.k_steps
         dt = self.dtype
@@ -773,9 +777,16 @@ class SimulationRunner:
         def local(flat_loc, *ext_loc):
             top = flat_loc[:, H - CH:, :]
             bot = flat_loc[:, :CH, :]
+            etop = ebot = None
+            if ext_halos:
+                etop = ext_loc[0][:, H - CH:, :]
+                ebot = ext_loc[0][:, :CH, :]
             if my > 1:
                 top = _ring_shift(top, "y", +1)
                 bot = _ring_shift(bot, "y", -1)
+                if ext_halos:
+                    etop = _ring_shift(etop, "y", +1)
+                    ebot = _ring_shift(ebot, "y", -1)
             if BX:
                 # strips cut AFTER the y exchange so the halo chunks'
                 # corner lanes carry the diagonal neighbors' data
@@ -783,6 +794,11 @@ class SimulationRunner:
                 top = x_extend(top)
                 bot = x_extend(bot)
                 ext_loc = tuple(x_extend(e) for e in ext_loc)
+                if ext_halos:
+                    etop = x_extend(etop)
+                    ebot = x_extend(ebot)
+            if ext_halos:
+                return kernel(flat_loc, top, bot, ext_loc[0], etop, ebot)
             if cfg.has_ext:
                 return kernel(flat_loc, top, bot, ext_loc[0])
             return kernel(flat_loc, top, bot)

@@ -241,8 +241,15 @@ def _make_halo_kernel(
     emit_src: tuple = (),
     x_ext: int = 0,
     body_w: int | None = None,
+    ext_halos: bool = False,
 ):
     """Generic 2K-stage chunk-pipelined halo kernel over ``q*C`` planes.
+
+    ``ext_halos``: the step takes two extra inputs ``ext_top``/``ext_bot``
+    (``[n_ext, CH, nx]``) holding the y-neighbors' boundary ext rows, and
+    the halo chunks' ext loads come from them instead of the shard-local
+    wrap — REQUIRED for ``K > 1`` with per-shard ext fields on a sharded
+    mesh (the local wrap is the true field only on an unsharded shard).
 
     The machinery (VMEM rings, DMA schedule, stage skew, halo-chunk
     processing — see the module docstring) is physics-agnostic; the
@@ -313,10 +320,14 @@ def _make_halo_kernel(
     SQ = -(-S * q // 8) * 8 if S else 0   # sublane-padded row count
     cxs, cys = lattice.cx, lattice.cy
 
+    EH = bool(ext_halos) and has_ext
+
     def kernel(*refs):
-        nin = 4 if has_ext else 3
+        nin = (6 if EH else 4) if has_ext else 3
         f_hbm, top_hbm, bot_hbm = refs[:3]
         ext_hbm = refs[3] if has_ext else None
+        ext_top_hbm = refs[4] if EH else None
+        ext_bot_hbm = refs[5] if EH else None
         out_hbm = refs[nin]
         rho_hbm = refs[nin + 1] if S else None
         rest = refs[nin + (2 if S else 1):]
@@ -365,12 +376,33 @@ def _make_halo_kernel(
                 pltpu.make_async_copy(
                     bot_hbm, in_ring.at[slot], sem_in.at[slot]).start()
 
-            if has_ext:
+            if has_ext and EH:
+                # halo chunks' ext rows come from the ppermuted neighbor
+                # chunks (sharded callers at K > 1)
+                @pl.when(c == 0)
+                def _():
+                    pltpu.make_async_copy(
+                        ext_top_hbm, ext_ring.at[c % NE],
+                        sem_ext.at[c % NE]).start()
+
+                @pl.when((c >= 1) & (c <= Cb))
+                def _():
+                    pltpu.make_async_copy(
+                        ext_hbm.at[:, pl.ds(
+                            pl.multiple_of((c - 1) * CH, CH), CH), :],
+                        ext_ring.at[c % NE], sem_ext.at[c % NE]).start()
+
+                @pl.when(c == V - 1)
+                def _():
+                    pltpu.make_async_copy(
+                        ext_bot_hbm, ext_ring.at[c % NE],
+                        sem_ext.at[c % NE]).start()
+            elif has_ext:
                 # ext chunks load for the HALO chunks too (their stage-s
                 # physics feeds later stages' stream halos at K >= 2): the
                 # physics is periodic, so halo ext rows are the local wrap
                 # (chunk 0 <- last CH rows, chunk V-1 <- first CH rows).
-                # Sharded callers with per-shard ext stay at K=1.
+                # Sharded callers use ext_halos (K > 1) or stay at K=1.
                 cc = jnp.asarray(c)
                 start = jnp.where(
                     cc == 0, H - CH,
@@ -593,7 +625,8 @@ def _make_halo_kernel(
     if S:
         scratch.append(pltpu.SemaphoreType.DMA((_NOUT,)))
 
-    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * (4 if has_ext else 3)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * (
+        (6 if EH else 4) if has_ext else 3)
 
     # In-place update: the store trail runs >= 2K chunks behind the load
     # front (store(c) issues at iteration c + 2K - 1, loads there touch
@@ -629,7 +662,10 @@ def _make_halo_kernel(
         ),
     )
 
-    if has_ext:
+    if EH:
+        def step(f_loc, top_halo, bot_halo, g_ext, ext_top, ext_bot):
+            return call(f_loc, top_halo, bot_halo, g_ext, ext_top, ext_bot)
+    elif has_ext:
         def step(f_loc, top_halo, bot_halo, g_ext):
             return call(f_loc, top_halo, bot_halo, g_ext)
     else:
@@ -676,6 +712,7 @@ def make_mc_halo_step(
     x_ext: int = 0,
     body_w: int | None = None,
     ext_map: tuple | None = None,
+    ext_halos: bool = False,
 ):
     """Build ``step(f_loc, top_halo, bot_halo [, g_ext]) -> f_loc`` advancing
     one y-shard of the multicomponent engine by ``k_steps`` LB steps.
@@ -1009,5 +1046,5 @@ def make_mc_halo_step(
         H=H, nx=nx, C=C, CH=CH, K=K, belt=belt,
         n_ext=n_ext, phys=phys, dtype=dtype,
         interpret=interpret, lattice=lattice, emit_src=emit_src,
-        x_ext=x_ext, body_w=body_w,
+        x_ext=x_ext, body_w=body_w, ext_halos=ext_halos,
         flops_per_cell=(35 * q) * C + 40 * len(cfg.interactions) * 8)

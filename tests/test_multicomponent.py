@@ -440,16 +440,17 @@ def test_kernel_parity_static_plus_dynamic_ext():
                                atol=5e-7, rtol=1e-5)
 
 
-def test_sharded_static_ext_forces_k1():
-    """A STATIC ext force field (radial) on a y-sharded mesh must pin the
-    kernel to K=1: the kernel's halo ext rows are the shard-local wrap,
-    which is wrong for a shard's true neighbors at K>1 (found as a 0.11
-    max-abs divergence at K=8 on a 4x1 mesh; dyn hooks were already
-    gated). Parity vs the unsharded XLA step over two would-be sweeps."""
+def test_sharded_static_ext_forces():
+    """A STATIC ext force field (radial) on a sharded mesh: the kernel's
+    ext ring wraps halo rows shard-locally, which is wrong for a shard's
+    true neighbors at K>1 (found as a 0.11 max-abs divergence at K=8 on a
+    4x1 mesh). The fix ppermutes the true neighbor ext halo chunks
+    (ext_halos), keeping K>1 on the kernel path. Parity vs the unsharded
+    XLA step over two full sweeps, on a 1-D and a 2-D mesh."""
     from lb2d_tpu.parallel.sharded import make_mesh
 
-    def build(backend):
-        sim = SimulationRunner(nx=128, ny=96, L_lb=128, T_lb=1.0,
+    def build(backend, nx=128):
+        sim = SimulationRunner(nx=nx, ny=96, L_lb=nx, T_lb=1.0,
                                num_populations=2, porous=True,
                                backend=backend)
         for i in range(2):
@@ -463,14 +464,16 @@ def test_sharded_static_ext_forces_k1():
         sim.add_radial_body_force(0, 64.0, 48.0, 1e-3, 1.0)
         return sim
 
-    ref = build("xla")
-    ref.run(16)
-    sh = build("kernel")
-    sh.shard_over(make_mesh(4, shape=(4, 1)))
-    sh.run(16)
-    assert sh.backend_used == "kernel" and sh.steps_per_call == 1
-    np.testing.assert_allclose(np.asarray(sh.f), np.asarray(ref.f),
-                               atol=5e-7, rtol=1e-5)
+    for shape, nx in (((4, 1), 128), ((2, 2), 256)):
+        ref = build("xla", nx)
+        ref.run(16)
+        sh = build("kernel", nx)
+        sh.shard_over(make_mesh(4, shape=shape))
+        sh.run(16)
+        assert sh.backend_used == "kernel" and sh.steps_per_call > 1, shape
+        np.testing.assert_allclose(np.asarray(sh.f), np.asarray(ref.f),
+                                   atol=5e-7, rtol=1e-5,
+                                   err_msg=f"mesh {shape}")
 
 
 def test_emitted_density_matches_roll_oracle():
