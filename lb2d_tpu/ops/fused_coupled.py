@@ -207,6 +207,7 @@ def make_screened_fisher_step(
     chunk: int | None = None,
     k_steps: int = 1,
     emit: bool = False,
+    ext_halos: bool = False,
 ):
     """Fused kernel for :class:`~lb2d_tpu.models.waves.
     ScreenedFisherWave`: one field, linear feq on the externally-supplied
@@ -238,7 +239,7 @@ def make_screened_fisher_step(
     return _make_halo_kernel(
         H=H, nx=nx, C=1, CH=CH, K=k_steps, belt=0, n_ext=2, phys=phys,
         dtype=dtype, interpret=interpret, flops_per_cell=120,
-        emit_src=(0,) if emit else ())
+        emit_src=(0,) if emit else (), ext_halos=ext_halos)
 
 
 def make_surfactant_step(
@@ -256,6 +257,7 @@ def make_surfactant_step(
     chunk: int | None = None,
     k_steps: int = 1,
     emit: bool = False,
+    ext_halos: bool = False,
 ):
     """Fused kernel for :class:`~lb2d_tpu.models.surfactant.
     SurfactantNutrientWave` / ``ClumpySurfactantNutrientWave``. The
@@ -308,4 +310,4 @@ def make_surfactant_step(
     return _make_halo_kernel(
         H=H, nx=nx, C=2, CH=CH, K=k_steps, belt=belt, n_ext=2, phys=phys,
         dtype=dtype, interpret=interpret, flops_per_cell=250,
-        emit_src=(POP,) if emit else ())
+        emit_src=(POP,) if emit else (), ext_halos=ext_halos)

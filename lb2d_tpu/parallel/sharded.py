@@ -560,7 +560,10 @@ class ShardedCoupled:
     like the multicomponent engine. The spectral families compute their
     screened-Poisson velocity globally under GSPMD (rolled post-stream
     density + matmul-DFT) and feed it to the per-shard kernel as external
-    planes (K = 1). All periodic — no seam patches."""
+    planes — per step (exact, K=1), or once per K-step sweep when the
+    base model carries ``stale_velocity > 1`` (ext halo chunks ppermuted
+    from the y-neighbors, like the f halos). All periodic — no seam
+    patches."""
 
     def __init__(self, base, mesh: Mesh | None = None,
                  k_steps: int | None = None):
@@ -603,15 +606,24 @@ class ShardedCoupled:
             if base._clumpy:
                 kw = dict(clumpy=True, rho_o=float(base.rho_o),
                           G_chen=float(base.G_chen))
+            # sweep-stale carries over to the sharded composition: the
+            # velocity planes are held for a K-step sweep, and the halo
+            # chunks' ext rows come from the ppermuted neighbor chunks
+            # (ext_halos — the shard-local wrap is only the true field on
+            # an unsharded shard)
+            Ks = int(k_steps or getattr(base, "stale_velocity", 1))
             kernel = make_surfactant_step(
                 H=H, nx=nx, omega=float(base.omega),
                 omega_n=float(base.omega_n), lb_G=float(base.lb_G),
-                dtype=base.dtype, interpret=interpret, **kw)
+                dtype=base.dtype, interpret=interpret, k_steps=Ks,
+                ext_halos=Ks > 1, **kw)
             C, ext_src = 2, base.POP
         elif isinstance(base, ScreenedFisherWave):
+            Ks = int(k_steps or getattr(base, "stale_velocity", 1))
             kernel = make_screened_fisher_step(
                 H=H, nx=nx, omega=float(base.omega), lb_G=float(base.lb_G),
-                dtype=base.dtype, interpret=interpret)
+                dtype=base.dtype, interpret=interpret, k_steps=Ks,
+                ext_halos=Ks > 1)
             C, ext_src = 1, 0
         else:
             raise TypeError(f"unsupported model {type(base).__name__}")
@@ -631,12 +643,23 @@ class ShardedCoupled:
         self.state = jax.device_put(
             base.state.reshape(Pp, ny, nx), self._sharding)
 
+        ext_halos = has_ext and kernel.k_steps > 1
+
         def local_step(f_loc, *ext):
             top = f_loc[:, H - CH:, :]
             bot = f_loc[:, :CH, :]
+            etop = ebot = None
+            if ext_halos:
+                etop = ext[0][:, H - CH:, :]
+                ebot = ext[0][:, :CH, :]
             if my > 1:
                 top = _ring_shift(top, "y", +1)
                 bot = _ring_shift(bot, "y", -1)
+                if ext_halos:
+                    etop = _ring_shift(etop, "y", +1)
+                    ebot = _ring_shift(ebot, "y", -1)
+            if ext_halos:
+                return kernel(f_loc, top, bot, ext[0], etop, ebot)
             if has_ext:
                 return kernel(f_loc, top, bot, ext[0])
             return kernel(f_loc, top, bot)

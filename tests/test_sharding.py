@@ -333,6 +333,27 @@ def test_sharded_coupled_spectral_parity():
                                np.asarray(fx), atol=5e-7, rtol=1e-5)
 
 
+def test_sharded_coupled_spectral_stale_parity():
+    """Sweep-stale spectral family on a sharded mesh (one global solve per
+    K-step sweep, ext halo chunks ppermuted from the y-neighbors) matches
+    the UNSHARDED stale kernel path bit-close — the halo ext rows must be
+    the true neighbor values, not the shard-local wrap."""
+    import jax
+    from lb2d_tpu.models.waves import ScreenedFisherWave
+    from lb2d_tpu.parallel.sharded import ShardedCoupled, make_mesh
+
+    kw = dict(Lx=1.0, Ly=1.0, vc=1.0, lam=0.5, R0=0.2, N=128,
+              stale_velocity=2)
+    ref = ScreenedFisherWave(**kw)
+    ref.run(6)   # 3 sweeps through the unsharded stale kernel
+    sh = ShardedCoupled(ScreenedFisherWave(**kw),
+                        mesh=make_mesh(4, shape=(4, 1)))
+    assert sh.steps_per_call == 2
+    sh.run(6)
+    np.testing.assert_allclose(np.asarray(sh._state_model()),
+                               np.asarray(ref.state), atol=5e-7, rtol=1e-5)
+
+
 def test_sharded_velocity_clears_pallas_gate():
     """Under a >1-device mesh the screened-velocity solve must take the
     GSPMD-partitionable matmul path, never the opaque Pallas custom call
