@@ -120,6 +120,8 @@ def make_rocket_yeast_step(
     interpret: bool = False,
     chunk: int | None = None,
     k_steps: int | None = None,
+    x_ext: int = 0,
+    body_w: int | None = None,
 ):
     """Fused K-step kernel for :class:`~lb2d_tpu.models.rocket_yeast.
     RocketYeast` / ``RocketYeastForcesOnly``. State planes ``j*2 + field``
@@ -193,7 +195,8 @@ def make_rocket_yeast_step(
 
     return _make_halo_kernel(
         H=H, nx=nx, C=2, CH=CH, K=K, belt=belt, n_ext=0, phys=phys,
-        dtype=dtype, interpret=interpret, flops_per_cell=400)
+        dtype=dtype, interpret=interpret, flops_per_cell=400,
+        x_ext=x_ext, body_w=body_w)
 
 
 def make_screened_fisher_step(
@@ -208,6 +211,8 @@ def make_screened_fisher_step(
     k_steps: int = 1,
     emit: bool = False,
     ext_halos: bool = False,
+    x_ext: int = 0,
+    body_w: int | None = None,
 ):
     """Fused kernel for :class:`~lb2d_tpu.models.waves.
     ScreenedFisherWave`: one field, linear feq on the externally-supplied
@@ -239,7 +244,8 @@ def make_screened_fisher_step(
     return _make_halo_kernel(
         H=H, nx=nx, C=1, CH=CH, K=k_steps, belt=0, n_ext=2, phys=phys,
         dtype=dtype, interpret=interpret, flops_per_cell=120,
-        emit_src=(0,) if emit else (), ext_halos=ext_halos)
+        emit_src=(0,) if emit else (), ext_halos=ext_halos,
+        x_ext=x_ext, body_w=body_w)
 
 
 def make_surfactant_step(
@@ -258,6 +264,8 @@ def make_surfactant_step(
     k_steps: int = 1,
     emit: bool = False,
     ext_halos: bool = False,
+    x_ext: int = 0,
+    body_w: int | None = None,
 ):
     """Fused kernel for :class:`~lb2d_tpu.models.surfactant.
     SurfactantNutrientWave` / ``ClumpySurfactantNutrientWave``. The
@@ -310,4 +318,5 @@ def make_surfactant_step(
     return _make_halo_kernel(
         H=H, nx=nx, C=2, CH=CH, K=k_steps, belt=belt, n_ext=2, phys=phys,
         dtype=dtype, interpret=interpret, flops_per_cell=250,
-        emit_src=(POP,) if emit else (), ext_halos=ext_halos)
+        emit_src=(POP,) if emit else (), ext_halos=ext_halos,
+        x_ext=x_ext, body_w=body_w)

@@ -577,29 +577,36 @@ class ShardedCoupled:
         self.base = base
         self.mesh = mesh if mesh is not None else make_mesh()
         my = dict(self.mesh.shape)["y"]
-        if dict(self.mesh.shape).get("x", 1) != 1:
-            raise ValueError("ShardedCoupled needs an x-unsharded mesh")
+        mx = dict(self.mesh.shape).get("x", 1)
         ny, nx = base.ny, base.nx
-        if ny % my:
-            raise ValueError(f"ny={ny} must divide mesh y={my}")
+        if ny % my or nx % mx:
+            raise ValueError(f"grid {ny}x{nx} must divide mesh {my}x{mx}")
         H = ny // my
+        W = nx // mx
+        # 2-D meshes: x-neighbor 128-lane strips, the flow/mc kernels'
+        # scheme (cut from the y-extended arrays -> corners in two hops)
+        BX = 128 if mx > 1 else 0
+        if BX and (W % 128 or W < 128):
+            raise ValueError(f"x-sharded kernel needs 128-aligned W, got {W}")
+        WE = W + 2 * BX
         self.nx, self.ny = nx, ny
         self.num_cells = base.num_cells
         q = base.lattice.q
         interpret = jax.default_backend() != "tpu"
         lat = base.lattice
+        xkw = dict(x_ext=BX, body_w=W) if BX else {}
 
         if isinstance(base, RocketYeast):
             kw = {}
             if base._forces_only:
                 kw = dict(forces_only=True, c_o=base.c_o, alpha=base.alpha)
             kernel = make_rocket_yeast_step(
-                H=H, nx=nx, omega=float(base.omega),
+                H=H, nx=WE, omega=float(base.omega),
                 omega_c=float(base.omega_c), lb_G=float(base.lb_G),
                 lb_Gc=float(base.lb_Gc), epsilon=float(base.epsilon),
                 rho_o=float(base.rho_o), G_chen=float(base.G_chen),
                 dtype=base.dtype, interpret=interpret, k_steps=k_steps,
-                **kw)
+                **kw, **xkw)
             C, ext_src = 2, None
         elif isinstance(base, SurfactantNutrientWave):
             kw = {}
@@ -613,17 +620,17 @@ class ShardedCoupled:
             # an unsharded shard)
             Ks = int(k_steps or getattr(base, "stale_velocity", 1))
             kernel = make_surfactant_step(
-                H=H, nx=nx, omega=float(base.omega),
+                H=H, nx=WE, omega=float(base.omega),
                 omega_n=float(base.omega_n), lb_G=float(base.lb_G),
                 dtype=base.dtype, interpret=interpret, k_steps=Ks,
-                ext_halos=Ks > 1, **kw)
+                ext_halos=Ks > 1, **kw, **xkw)
             C, ext_src = 2, base.POP
         elif isinstance(base, ScreenedFisherWave):
             Ks = int(k_steps or getattr(base, "stale_velocity", 1))
             kernel = make_screened_fisher_step(
-                H=H, nx=nx, omega=float(base.omega), lb_G=float(base.lb_G),
+                H=H, nx=WE, omega=float(base.omega), lb_G=float(base.lb_G),
                 dtype=base.dtype, interpret=interpret, k_steps=Ks,
-                ext_halos=Ks > 1)
+                ext_halos=Ks > 1, **xkw)
             C, ext_src = 1, 0
         else:
             raise TypeError(f"unsupported model {type(base).__name__}")
@@ -635,33 +642,53 @@ class ShardedCoupled:
         if self.mesh.size > 1 and hasattr(velocity, "allow_pallas"):
             # the Pallas DFT solve is an opaque custom call GSPMD cannot
             # partition — force the partitionable matmul-DFT path when the
-            # velocity is evaluated on mesh-sharded arrays
+            # velocity is evaluated on mesh-sharded arrays (also over the
+            # CPU fft path, which RET_CHECKs on 2-D-sharded layouts)
             velocity.allow_pallas = False
+            velocity.method = "matmul"
 
-        f_spec = P(None, "y", None)
+        f_spec = P(None, "y", "x") if BX else P(None, "y", None)
         self._sharding = NamedSharding(self.mesh, f_spec)
         self.state = jax.device_put(
             base.state.reshape(Pp, ny, nx), self._sharding)
 
         ext_halos = has_ext and kernel.k_steps > 1
 
+        def x_extend(arr):
+            left = arr[:, :, W - 128:]
+            right = arr[:, :, :128]
+            left = _ring_shift(left, "x", +1)
+            right = _ring_shift(right, "x", -1)
+            return jnp.concatenate([left, arr, right], axis=2)
+
         def local_step(f_loc, *ext):
             top = f_loc[:, H - CH:, :]
             bot = f_loc[:, :CH, :]
+            e = ext[0] if has_ext else None
             etop = ebot = None
             if ext_halos:
-                etop = ext[0][:, H - CH:, :]
-                ebot = ext[0][:, :CH, :]
+                etop = e[:, H - CH:, :]
+                ebot = e[:, :CH, :]
             if my > 1:
                 top = _ring_shift(top, "y", +1)
                 bot = _ring_shift(bot, "y", -1)
                 if ext_halos:
                     etop = _ring_shift(etop, "y", +1)
                     ebot = _ring_shift(ebot, "y", -1)
+            if BX:
+                # strips cut AFTER the y exchange (corners in two hops)
+                f_loc = x_extend(f_loc)
+                top = x_extend(top)
+                bot = x_extend(bot)
+                if has_ext:
+                    e = x_extend(e)
+                if ext_halos:
+                    etop = x_extend(etop)
+                    ebot = x_extend(ebot)
             if ext_halos:
-                return kernel(f_loc, top, bot, ext[0], etop, ebot)
+                return kernel(f_loc, top, bot, e, etop, ebot)
             if has_ext:
-                return kernel(f_loc, top, bot, ext[0])
+                return kernel(f_loc, top, bot, e)
             return kernel(f_loc, top, bot)
 
         specs = (f_spec, f_spec) if has_ext else (f_spec,)

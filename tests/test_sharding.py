@@ -354,6 +354,42 @@ def test_sharded_coupled_spectral_stale_parity():
                                np.asarray(ref.state), atol=5e-7, rtol=1e-5)
 
 
+def test_sharded_coupled_2d_mesh_parity():
+    """ShardedCoupled on a 2-D mesh: x-neighbor 128-lane strips keep the
+    coupled kernels on the kernel path with x-sharding. Rocket-yeast
+    (K-deep, no ext) and the spectral wave (per-step GSPMD solve + ext
+    planes) vs the unsharded oracles on a virtual 2x2 mesh."""
+    import jax
+    from lb2d_tpu.models.rocket_yeast import RocketYeast
+    from lb2d_tpu.models.waves import ScreenedFisherWave
+    from lb2d_tpu.parallel.sharded import ShardedCoupled, make_mesh
+
+    kw = dict(Lx=1.0, Ly=1.0, R0=0.2, epsilon=0.05, Gc=2.0, N=256,
+              G_chen=-0.1)
+    ref = RocketYeast(**kw)
+    xs = jax.jit(ref._make_xla_step())
+    fx = ref.state
+    for _ in range(7):
+        fx = xs(fx)
+    sh = ShardedCoupled(RocketYeast(**kw), mesh=make_mesh(4, shape=(2, 2)))
+    assert sh.steps_per_call > 1
+    sh.run(7)
+    np.testing.assert_allclose(np.asarray(sh._state_model()),
+                               np.asarray(fx), atol=5e-7, rtol=1e-5)
+
+    kw2 = dict(Lx=1.0, Ly=1.0, vc=1.0, lam=0.5, R0=0.2, N=256)
+    ref2 = ScreenedFisherWave(**kw2)
+    xs2 = jax.jit(ref2._make_xla_step())
+    fx2 = ref2.state
+    for _ in range(4):
+        fx2 = xs2(fx2)
+    sh2 = ShardedCoupled(ScreenedFisherWave(**kw2),
+                         mesh=make_mesh(4, shape=(2, 2)))
+    sh2.run(4)
+    np.testing.assert_allclose(np.asarray(sh2._state_model()),
+                               np.asarray(fx2), atol=5e-7, rtol=1e-5)
+
+
 def test_sharded_velocity_clears_pallas_gate():
     """Under a >1-device mesh the screened-velocity solve must take the
     GSPMD-partitionable matmul path, never the opaque Pallas custom call
