@@ -390,6 +390,25 @@ def test_sharded_coupled_2d_mesh_parity():
                                np.asarray(fx2), atol=5e-7, rtol=1e-5)
 
 
+def test_sharded_coupled_2d_stale_parity():
+    """The remaining combination: sweep-stale spectral family on a 2-D
+    mesh — ppermuted ext halo chunks AND x-neighbor lane strips in one
+    step. Parity vs the unsharded stale kernel on a virtual 2x2 mesh."""
+    from lb2d_tpu.models.waves import ScreenedFisherWave
+    from lb2d_tpu.parallel.sharded import ShardedCoupled, make_mesh
+
+    kw = dict(Lx=1.0, Ly=1.0, vc=1.0, lam=0.5, R0=0.2, N=256,
+              stale_velocity=2)
+    ref = ScreenedFisherWave(**kw)
+    ref.run(6)
+    sh = ShardedCoupled(ScreenedFisherWave(**kw),
+                        mesh=make_mesh(4, shape=(2, 2)))
+    assert sh.steps_per_call == 2
+    sh.run(6)
+    np.testing.assert_allclose(np.asarray(sh._state_model()),
+                               np.asarray(ref.state), atol=5e-7, rtol=1e-5)
+
+
 def test_sharded_velocity_clears_pallas_gate():
     """Under a >1-device mesh the screened-velocity solve must take the
     GSPMD-partitionable matmul path, never the opaque Pallas custom call
