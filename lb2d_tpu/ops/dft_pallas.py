@@ -14,6 +14,26 @@ Mosaic compiler), the three 4-step stages run as batched MXU ``dot_general``
 s at ``Precision.HIGHEST``, and the tile is written once. HBM traffic per
 pass is exactly read + write; no intermediate spills.
 
+Two MXU-economy layers on top of the plain 4-step (round 4):
+
+1. **Block-diagonal saturation** (:func:`_pack_g`): an ``[f, f] x [f, N]``
+   matmul streams the same N columns through the 128x128 systolic array as
+   a ``[128, 128] x [128, N]`` one — sub-128 factors waste a ``128/f``
+   fraction of the array. Each stage folds ``g = 128 // f`` adjacent batch
+   groups into one matmul with ``kron(eye(g), F)``; the folds are row-major
+   reshapes, so layouts (and results) are unchanged. Per-pass MXU cycles
+   drop from ``(n/n1 + n/n2) * W`` to ``~2 * (n/128) * W`` — 1.5x at
+   n = 8192 (64*128), 2x at 4096 (64*64).
+2. **Gauss 3-matmul complex product** (:func:`_gauss_consts`): the constant
+   side pre-combines ``Fc, Fs-Fc, Fs+Fc`` so each complex stage costs 3 MXU
+   matmuls instead of 4 (plus one VPU add on the data side) — 0.75x.
+
+Wall-clock model (validated against round-3 measurements: predicted 32 ms
+vs 30.2 measured for the HIGHEST 8192^2 solve): MXU passes, not MACs, are
+the cost — which is why a deeper n1*n2*n3 factorization would LOSE (smaller
+factors mean more, emptier passes). Together the two layers predict
+``30.2 * (128/192) * 0.75 = 15.1 ms`` for that solve.
+
 The screened-gradient solve (reference:
 ``spectral_poisson/screened_poisson.py:38-89``) becomes 4 kernel passes
 (the inter-pass transposes are fused into the x/y passes as ``row_input``
@@ -82,6 +102,32 @@ def _consts(n1: int, n2: int, inverse: bool):
     return F1c, F1s, F2c, F2s, twc, tws
 
 
+def _pack_g(f: int, batch: int) -> int:
+    """MXU saturation factor: fold ``g`` adjacent batch groups into one
+    matmul via a block-diagonal factor matrix so the contract dim is as
+    close to 128 as possible. A ``[f, f] x [f, N]`` matmul costs the same
+    MXU passes as ``[128, 128] x [128, N]`` (the systolic array is streamed
+    column-wise regardless of how few of its rows are live), so a stage
+    with factor f < 128 wastes a 128/f fraction of the array; packing
+    recovers it. g must divide the batch count (layout-free fold)."""
+    g = max(1, 128 // f)
+    while batch % g:
+        g -= 1
+    return g
+
+
+def _gauss_consts(Fc: np.ndarray, Fs: np.ndarray):
+    """Pre-combined constants for the 3-matmul complex product
+    (F = Fc + i Fs, T = Tr + i Ti):
+
+        t1 = Fc (Tr + Ti);  t2 = (Fs - Fc) Tr;  t3 = (Fs + Fc) Ti
+        Cr = t1 - t3;       Ci = t1 + t2
+
+    — 3 MXU matmuls instead of 4, with the operand combinations folded
+    into the constant side (one VPU add on the data side)."""
+    return Fc, Fs - Fc, Fs + Fc
+
+
 def make_axis0_dft(n: int, W: int, *, real_input: bool = False,
                    inverse: bool = False, out_rows: int | None = None,
                    tw: int = 256, interpret: bool = False,
@@ -115,7 +161,21 @@ def make_axis0_dft(n: int, W: int, *, real_input: bool = False,
     assert tw >= 128, (W, tw)
     D = n2 if out_rows is None else (out_rows - 1) // n1 + 1
     R = D * n1
-    consts = [jnp.asarray(a) for a in _consts(n1, n2, inverse)]
+    F1c, F1s, F2c, F2s, twc, tws = _consts(n1, n2, inverse)
+    # MXU saturation: block-diagonal packing of g adjacent batch groups
+    # per stage (see _pack_g). The folds are row-major reshapes — the
+    # packed stages produce bit-identical layouts to the unpacked ones.
+    g1 = _pack_g(n1, n2)
+    g2 = _pack_g(n2, n1)
+    B1, B2 = n2 // g1, n1 // g2
+    pack = lambda g, M: np.kron(np.eye(g, dtype=np.float32), M)
+    if real_input:
+        s1 = (pack(g1, F1c), pack(g1, F1s))      # 2 real matmuls
+    else:
+        s1 = tuple(pack(g1, M) for M in _gauss_consts(F1c, F1s))
+    s2 = tuple(pack(g2, M) for M in _gauss_consts(F2c[:D], F2s[:D]))
+    n_s1 = len(s1)
+    consts = [jnp.asarray(a) for a in (*s1, *s2, twc, tws)]
 
     if mm == "bf16x3":
         def dg(A, B, dimension_numbers):
@@ -133,10 +193,11 @@ def make_axis0_dft(n: int, W: int, *, real_input: bool = False,
 
     def kernel(*refs):
         if real_input:
-            (xr_ref, f1c, f1s, f2c, f2s, twc, tws, or_ref, oi_ref) = refs
-            xi_ref = None
+            (xr_ref, s1a, s1b, s2a, s2b, s2c, twc_r, tws_r,
+             or_ref, oi_ref) = refs
+            xi_ref = s1c = None
         else:
-            (xr_ref, xi_ref, f1c, f1s, f2c, f2s, twc, tws,
+            (xr_ref, xi_ref, s1a, s1b, s1c, s2a, s2b, s2c, twc_r, tws_r,
              or_ref, oi_ref) = refs
 
         def load(ref):
@@ -151,31 +212,41 @@ def make_axis0_dft(n: int, W: int, *, real_input: bool = False,
         ti_full = load(xi_ref)
         ti = (None if ti_full is None else
               jnp.transpose(ti_full.reshape(n1, n2, tw), (1, 0, 2)))
-        # step 1: inner DFT over a, batched over b:
-        # T1[b, c, w] = sum_a F1[c, a] t[b, a, w]
-        F1cb = jnp.broadcast_to(f1c[:], (n2, n1, n1))
-        F1sb = jnp.broadcast_to(f1s[:], (n2, n1, n1))
         bdg = lambda A, B: dg(A, B, dimension_numbers=(((2,), (1,)),
                                                        ((0,), (0,))))
+        # step 1: inner DFT over a, batched over b (g1-packed):
+        # T1[b, c, w] = sum_a F1[c, a] t[b, a, w]
+        bc1 = lambda M: jnp.broadcast_to(M[:], (B1, g1 * n1, g1 * n1))
+        f1 = lambda t: t.reshape(B1, g1 * n1, tw)
+        un1 = lambda t: t.reshape(n2, n1, tw)
         if ti is None:
-            t1r = bdg(F1cb, tr)
-            t1i = bdg(F1sb, tr)
+            t1r = un1(bdg(bc1(s1a), f1(tr)))
+            t1i = un1(bdg(bc1(s1b), f1(tr)))
         else:
-            t1r = bdg(F1cb, tr) - bdg(F1sb, ti)
-            t1i = bdg(F1cb, ti) + bdg(F1sb, tr)
+            # Gauss 3-matmul: t1 = Fc(Tr+Ti), t2 = (Fs-Fc)Tr, t3 = (Fs+Fc)Ti
+            trf, tif = f1(tr), f1(ti)
+            k1 = bdg(bc1(s1a), trf + tif)
+            k2 = bdg(bc1(s1b), trf)
+            k3 = bdg(bc1(s1c), tif)
+            t1r = un1(k1 - k3)
+            t1i = un1(k1 + k2)
         # step 2: twiddle W_n^{+-bc}
-        wc = twc[:].reshape(n2, n1, 1)
-        ws = tws[:].reshape(n2, n1, 1)
+        wc = twc_r[:].reshape(n2, n1, 1)
+        ws = tws_r[:].reshape(n2, n1, 1)
         t2r = t1r * wc - t1i * ws
         t2i = t1r * ws + t1i * wc
-        # step 3: outer DFT over b, batched over c:
+        # step 3: outer DFT over b, batched over c (g2-packed, Gauss):
         # X[c, d, w] = sum_b F2[d, b] T2[b, c, w]
         ur = jnp.transpose(t2r, (1, 0, 2))      # [c, b, w]
         ui = jnp.transpose(t2i, (1, 0, 2))
-        F2cb = jnp.broadcast_to(f2c[:D], (n1, D, n2))
-        F2sb = jnp.broadcast_to(f2s[:D], (n1, D, n2))
-        xr_ = bdg(F2cb, ur) - bdg(F2sb, ui)      # [c, d, w]
-        xi_ = bdg(F2cb, ui) + bdg(F2sb, ur)
+        bc2 = lambda M: jnp.broadcast_to(M[:], (B2, g2 * D, g2 * n2))
+        f2 = lambda t: t.reshape(B2, g2 * n2, tw)
+        urf, uif = f2(ur), f2(ui)
+        m1 = bdg(bc2(s2a), urf + uif)
+        m2 = bdg(bc2(s2b), urf)
+        m3 = bdg(bc2(s2c), uif)
+        xr_ = (m1 - m3).reshape(n1, D, tw)       # [c, d, w]
+        xi_ = (m1 + m2).reshape(n1, D, tw)
         # k = c + n1*d -> rows [d, c, w] flatten to k-order
         or_ref[:] = jnp.transpose(xr_, (1, 0, 2)).reshape(R, tw)
         oi_ref[:] = jnp.transpose(xi_, (1, 0, 2)).reshape(R, tw)
@@ -188,8 +259,8 @@ def make_axis0_dft(n: int, W: int, *, real_input: bool = False,
         in_specs = [pl.BlockSpec((tw, n), row)] * (1 if real_input else 2)
     else:
         in_specs = [pl.BlockSpec((n, tw), col)] * (1 if real_input else 2)
-    in_specs += [pl.BlockSpec((n1, n1), full)] * 2
-    in_specs += [pl.BlockSpec((n2, n2), full)] * 2
+    in_specs += [pl.BlockSpec((g1 * n1, g1 * n1), full)] * n_s1
+    in_specs += [pl.BlockSpec((g2 * D, g2 * n2), full)] * 3
     in_specs += [pl.BlockSpec((n2, n1), full)] * 2
     from jax.experimental.pallas import tpu as pltpu
 
@@ -204,7 +275,7 @@ def make_axis0_dft(n: int, W: int, *, real_input: bool = False,
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=(2 if real_input else 4) * 2 * n * (n1 + D) * W,
+            flops=2 * W * (n_s1 * n * n1 * g1 + 3 * n1 * D * n2 * g2),
             bytes_accessed=(2 * n + 2 * R) * W * 4,
             transcendentals=0,
         ),

@@ -15,7 +15,12 @@ from lb2d_tpu.ops.dft_pallas import (
 
 
 @pytest.mark.parametrize("n,W,real", [(256, 256, True), (256, 256, False),
-                                      (512, 384, False), (384, 512, True)])
+                                      (512, 384, False), (384, 512, True),
+                                      # production sizes (VERDICT r3 #1) +
+                                      # a non-power-of-2 with partial
+                                      # block-diag packing (g1=2 of 3)
+                                      (4096, 128, False), (8192, 128, True),
+                                      (2560, 128, False)])
 def test_axis0_dft_matches_numpy(n, W, real):
     rs = np.random.RandomState(0)
     xr = rs.rand(n, W).astype(np.float32)
@@ -31,10 +36,11 @@ def test_axis0_dft_matches_numpy(n, W, real):
     scale = np.abs(ref).max()
     np.testing.assert_allclose(np.asarray(yr), ref.real, atol=1e-6 * scale)
     np.testing.assert_allclose(np.asarray(yi), ref.imag, atol=1e-6 * scale)
-    # inverse roundtrip
+    # inverse roundtrip (fp32 accumulation error grows ~sqrt(n)*eps)
     fi = make_axis0_dft(n, W, real_input=False, inverse=True, interpret=True)
     zr, _ = fi(yr, yi)
-    np.testing.assert_allclose(np.asarray(zr), xr, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(zr), xr,
+                               atol=1e-6 + 6e-8 * np.sqrt(n))
 
 
 def test_axis0_dft_half_spectrum_rows():
