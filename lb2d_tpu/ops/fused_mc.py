@@ -206,10 +206,13 @@ def pick_mc_tiling(H: int, nx: int, C_fluids: int, belt: int = 1,
             if emit:
                 # the phys-unroll + D-stage register spill scratch is
                 # CH-proportional (~70 chunk-planes measured at 8192^2
-                # 2-fluid); budget it explicitly and admit up to the
-                # pallas_call cap — the emit config sits closer to the
-                # 128 MB hardware edge than the others
-                if rb + 70 * ch * nx * 4 <= _VMEM_LIMIT:
+                # 2-fluid D2Q9 first-belt, i.e. ~2 planes per live
+                # physics plane C*q*(1+belt) = 36); scale the estimate
+                # with the physics size so bigger configs (D2Q25, more
+                # fluids, second belt) don't get admitted on a budget
+                # calibrated to a smaller kernel (ADVICE r3 #2)
+                spill = max(70, (70 * C_fluids * q * (1 + belt)) // 36)
+                if rb + spill * ch * nx * 4 <= _VMEM_LIMIT:
                     return ch, k
             elif rb <= _VMEM_BUDGET:
                 return ch, k

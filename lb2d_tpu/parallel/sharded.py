@@ -596,17 +596,30 @@ class ShardedCoupled:
         lat = base.lattice
         xkw = dict(x_ext=BX, body_w=W) if BX else {}
 
+        def _demote(build, Ks):
+            """Mirror the unsharded models' K-demotion (ADVICE r3 #1):
+            when the per-shard tiling is infeasible at the requested sweep
+            depth (small H per shard), retry at decreasing K instead of
+            letting the kernel factory raise."""
+            while True:
+                try:
+                    return build(Ks)
+                except ValueError:
+                    if Ks is None or Ks <= 1:
+                        raise
+                    Ks -= 1
+
         if isinstance(base, RocketYeast):
             kw = {}
             if base._forces_only:
                 kw = dict(forces_only=True, c_o=base.c_o, alpha=base.alpha)
-            kernel = make_rocket_yeast_step(
+            kernel = _demote(lambda k: make_rocket_yeast_step(
                 H=H, nx=WE, omega=float(base.omega),
                 omega_c=float(base.omega_c), lb_G=float(base.lb_G),
                 lb_Gc=float(base.lb_Gc), epsilon=float(base.epsilon),
                 rho_o=float(base.rho_o), G_chen=float(base.G_chen),
-                dtype=base.dtype, interpret=interpret, k_steps=k_steps,
-                **kw, **xkw)
+                dtype=base.dtype, interpret=interpret, k_steps=k,
+                **kw, **xkw), k_steps)
             C, ext_src = 2, None
         elif isinstance(base, SurfactantNutrientWave):
             kw = {}
@@ -619,18 +632,18 @@ class ShardedCoupled:
             # (ext_halos — the shard-local wrap is only the true field on
             # an unsharded shard)
             Ks = int(k_steps or getattr(base, "stale_velocity", 1))
-            kernel = make_surfactant_step(
+            kernel = _demote(lambda k: make_surfactant_step(
                 H=H, nx=WE, omega=float(base.omega),
                 omega_n=float(base.omega_n), lb_G=float(base.lb_G),
-                dtype=base.dtype, interpret=interpret, k_steps=Ks,
-                ext_halos=Ks > 1, **kw, **xkw)
+                dtype=base.dtype, interpret=interpret, k_steps=k,
+                ext_halos=k > 1, **kw, **xkw), Ks)
             C, ext_src = 2, base.POP
         elif isinstance(base, ScreenedFisherWave):
             Ks = int(k_steps or getattr(base, "stale_velocity", 1))
-            kernel = make_screened_fisher_step(
+            kernel = _demote(lambda k: make_screened_fisher_step(
                 H=H, nx=WE, omega=float(base.omega), lb_G=float(base.lb_G),
-                dtype=base.dtype, interpret=interpret, k_steps=Ks,
-                ext_halos=Ks > 1, **xkw)
+                dtype=base.dtype, interpret=interpret, k_steps=k,
+                ext_halos=k > 1, **xkw), Ks)
             C, ext_src = 1, 0
         else:
             raise TypeError(f"unsupported model {type(base).__name__}")
@@ -645,7 +658,17 @@ class ShardedCoupled:
             # velocity is evaluated on mesh-sharded arrays (also over the
             # CPU fft path, which RET_CHECKs on 2-D-sharded layouts)
             velocity.allow_pallas = False
-            velocity.method = "matmul"
+            if velocity.method != "matmul":
+                if getattr(velocity, "_explicit_method", False):
+                    import warnings
+
+                    warnings.warn(
+                        f"ShardedCoupled: overriding explicit method="
+                        f"'{velocity.method}' with 'matmul' — the "
+                        "requested path cannot run on a >1-device mesh "
+                        "(fft RET_CHECKs on sharded layouts; Pallas is an "
+                        "unpartitionable custom call)", stacklevel=2)
+                velocity.method = "matmul"
 
         f_spec = P(None, "y", "x") if BX else P(None, "y", None)
         self._sharding = NamedSharding(self.mesh, f_spec)
