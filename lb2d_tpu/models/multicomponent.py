@@ -953,13 +953,19 @@ class SimulationRunner:
             self._refresh_jit = jax.jit(refresh)
         self.rho, self.u_bary, self.v_bary = self._refresh_jit(self.f)
 
-    def check_fields(self):
-        """Conservation debug dump (``single_component.py:753-766``)."""
+    def check_fields(self, accumulate: str = "f64"):
+        """Conservation debug dump (``single_component.py:753-766``).
+
+        Defaults to fp64-grade accumulation (the reference engine is
+        hard-fp64, ``single_component.cl:1-7``; naive f32 sums lose ~3-4
+        digits at 8192^2 — see ``utils.metrics.accumulated_sum``)."""
+        from ..utils.metrics import accumulated_sum
+
         rho = jnp.sum(self.f, axis=0)
         out = {}
         for i in range(self.num_populations):
-            out[f"sum_rho_{i}"] = float(jnp.sum(rho[i]))
-            out[f"sum_f_{i}"] = float(jnp.sum(self.f[:, i]))
+            out[f"sum_rho_{i}"] = accumulated_sum(rho[i], accumulate)
+            out[f"sum_f_{i}"] = accumulated_sum(self.f[:, i], accumulate)
         print(out)
         return out
 

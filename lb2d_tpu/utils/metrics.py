@@ -25,7 +25,8 @@ import numpy as np
 
 from ..core.lattice import D2Q9
 
-__all__ = ["mach_number", "MachWatchdog", "conservation_report", "MLUPSMeter"]
+__all__ = ["mach_number", "MachWatchdog", "accumulated_sum",
+           "conservation_report", "MLUPSMeter"]
 
 
 def mach_number(u, v, lattice=D2Q9) -> float:
@@ -52,14 +53,39 @@ class MachWatchdog:
         return ma
 
 
-def conservation_report(f, rho=None, feq=None) -> dict:
+def accumulated_sum(x, accumulate: str = "f32") -> float:
+    """Global sum of a device array with selectable accumulation.
+
+    ``"f32"``: plain on-device ``jnp.sum`` — fine at notebook scales, but
+    naive fp32 accumulation over 67M cells (8192^2) loses ~3-4 significant
+    digits, which swamps the conservation drifts the dump exists to catch.
+    ``"f64"``: the lane axis is reduced on device in 128-element windows
+    (f32 absorption bounded to one window: ~7 * eps_f32 relative per
+    window for similar-magnitude cells) and the small partials cross to
+    host where numpy accumulates them in float64 — fp64-grade totals
+    without requiring x64 device support (TPUs have none; the reference
+    is hard-fp64 here, ``single_component.cl:1-7``). Pathological dynamic
+    range *within* a 128-cell window is not defended — conservation
+    fields are homogeneous."""
+    if accumulate == "f64":
+        nx = x.shape[-1]
+        if nx % 128 == 0 and nx > 128:
+            x = x.reshape(*x.shape[:-1], nx // 128, 128)
+        parts = np.asarray(jax.device_get(jnp.sum(x, axis=-1)),
+                           dtype=np.float64)
+        return float(parts.sum())
+    return float(jnp.sum(x))
+
+
+def conservation_report(f, rho=None, feq=None, accumulate: str = "f32") -> dict:
     """Sums of f (per direction collapsed), rho, feq — the ``check_fields``
-    conservation dump. Returns host floats."""
-    out = {"sum_f": float(jnp.sum(f))}
+    conservation dump. Returns host floats. ``accumulate="f64"`` switches
+    to fp64-grade accumulation (see :func:`accumulated_sum`)."""
+    out = {"sum_f": accumulated_sum(f, accumulate)}
     if rho is not None:
-        out["sum_rho"] = float(jnp.sum(rho))
+        out["sum_rho"] = accumulated_sum(rho, accumulate)
     if feq is not None:
-        out["sum_feq"] = float(jnp.sum(feq))
+        out["sum_feq"] = accumulated_sum(feq, accumulate)
     return out
 
 
