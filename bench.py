@@ -27,6 +27,50 @@ except Exception:
 BASELINE_MLUPS = 325.0
 
 
+def _calibrate():
+    """Environment-context probes (VERDICT r3 #9): a copy-bound and an
+    MXU-bound microkernel timed the same way as the benchmark. Their
+    throughputs pin the session's effective HBM bandwidth and matmul rate,
+    so cross-session spread in the headline number is attributable (a slow
+    `calib` means a slow/contended device, not a code regression)."""
+    import numpy as np
+
+    @partial(jax.jit, donate_argnums=0)
+    def copy_loop(x, n):
+        return jax.lax.fori_loop(0, n, lambda i, v: v * 0.999 + 1e-9, x)
+
+    @jax.jit
+    def mm_loop(a, n):
+        def body(i, v):
+            return jnp.dot(v, v, preferred_element_type=jnp.bfloat16)
+        return jax.lax.fori_loop(0, n, body, a)
+
+    out = {}
+    try:
+        x = jnp.ones((4096, 4096), jnp.float32)
+        x = copy_loop(x, jnp.int32(2))
+        float(jnp.sum(x[0, :8]))
+        iters = 100
+        t0 = time.perf_counter()
+        x = copy_loop(x, jnp.int32(iters))
+        float(jnp.sum(x[0, :8]))
+        dt = time.perf_counter() - t0
+        out["copy_gbps"] = round(2 * x.size * 4 * iters / dt / 1e9, 1)
+
+        a = jnp.full((4096, 4096), 1e-6, jnp.bfloat16)
+        a = mm_loop(a, jnp.int32(2))
+        float(jnp.sum(a.astype(jnp.float32)[0, :8]))
+        iters = 30
+        t0 = time.perf_counter()
+        a = mm_loop(a, jnp.int32(iters))
+        float(jnp.sum(a.astype(jnp.float32)[0, :8]))
+        dt = time.perf_counter() - t0
+        out["mxu_tflops"] = round(2 * 4096**3 * iters / dt / 1e12, 1)
+    except Exception as e:  # calibration must never sink the benchmark
+        out["error"] = str(e)[:120]
+    return out
+
+
 def main():
     from lb2d_tpu.models.pipe_flow import PipeFlow
     from lb2d_tpu.ops.fused import (
@@ -87,6 +131,7 @@ def main():
         "vs_baseline": round(mlups / BASELINE_MLUPS, 2),
         "spread": {"min": round(rates[0], 1), "max": round(rates[-1], 1),
                    "reps": reps, "steps_per_rep": n_meas * steps_per_call},
+        "calib": _calibrate() if on_tpu else {"skipped": "not on tpu"},
     }))
 
 
