@@ -161,8 +161,15 @@ def make_temporal_halo_step(
     mf = physics.startswith("multifield")
     assert (F > 1) == mf
     if BX:
-        assert physics in ("flow", "diffusion", "noisy_fisher"), (
-            "x-extended kernel supports flow/diffusion physics only")
+        # flow: Zou-He columns take the x-extended tile form; diffusion /
+        # expansion: fully periodic, nothing lane-dependent; multifield
+        # fisher: the no-flux x-wall masks use the globalized laneid (the
+        # x0 offset above), and the CALLER must splice an x-wall band
+        # exactly as it splices the y-wall band (garbage creeps one lane
+        # per stage from the torus-wrapped strips at the global x edges —
+        # see ShardedMultifield).
+        assert physics in ("flow", "diffusion", "noisy_fisher",
+                           "multifield_fisher", "multifield_expansion")
     P = q * F
     diffusion = physics in ("diffusion", "noisy_fisher")
     if mf:

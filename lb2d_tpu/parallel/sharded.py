@@ -356,8 +356,13 @@ class ShardedMultifield:
     """Domain decomposition for the multifield families
     (:class:`~lb2d_tpu.models.multifield.FisherExpansion` /
     :class:`~lb2d_tpu.models.multifield.Expansion`): shards
-    ``f[q, F, ny, nx]`` over a y-decomposed mesh and runs the K-step
-    multifield halo kernel per shard.
+    ``f[q, F, ny, nx]`` over a y-decomposed OR 2-D mesh and runs the
+    K-step multifield halo kernel per shard (2-D meshes exchange
+    x-neighbor 128-lane strips like the flow/mc/coupled kernels; the
+    FisherExpansion x-walls get a lane-band splice mirroring the row-band
+    one; stochastic strips carry the receiving shard's noise realization —
+    the same documented seam-realization divergence as the y case,
+    DIVERGENCES #19).
 
     * ``Expansion`` (periodic, stochastic): the ppermute ring is the true
       wrap — no seam patch; on-core PRNG seeded per (sweep, shard, chunk,
@@ -378,12 +383,19 @@ class ShardedMultifield:
         self.base = base
         self.mesh = mesh if mesh is not None else make_mesh()
         my = dict(self.mesh.shape)["y"]
-        if dict(self.mesh.shape).get("x", 1) != 1:
-            raise ValueError("ShardedMultifield needs an x-unsharded mesh")
+        mx = dict(self.mesh.shape).get("x", 1)
         ny, nx = base.ny, base.nx
-        if ny % my:
-            raise ValueError(f"ny={ny} must divide mesh y={my}")
+        if ny % my or nx % mx:
+            raise ValueError(f"grid {ny}x{nx} must divide mesh {my}x{mx}")
         H = ny // my
+        W = nx // mx
+        # 2-D meshes: x-neighbor 128-lane strips, same scheme as the
+        # flow/mc/coupled kernels (strips cut AFTER the y exchange so
+        # diagonal corners arrive in two hops)
+        BX = 128 if mx > 1 else 0
+        if BX and (W % 128 or W < 128):
+            raise ValueError(f"x-sharded kernel needs 128-aligned W, got {W}")
+        WE = W + 2 * BX
         self.nx, self.ny = nx, ny
         self.num_cells = base.num_cells
         F = base.num_fields
@@ -396,10 +408,10 @@ class ShardedMultifield:
         if k_steps is None:
             k_steps = next(
                 (k for k in (8, 6, 4, 2, 1)
-                 if pick_halo_chunk_mf(H, nx, k, F)), None)
+                 if pick_halo_chunk_mf(H, WE, k, F)), None)
             if k_steps is None:
                 raise ValueError(
-                    f"no multifield halo tiling for shard {H}x{nx} F={F}")
+                    f"no multifield halo tiling for shard {H}x{WE} F={F}")
         K = self.steps_per_call = k_steps
         if self.noisy:
             # Expansion: F = populations + nutrient; per-field omegas are
@@ -413,14 +425,16 @@ class ShardedMultifield:
         else:
             mf_kw = dict(physics="multifield_fisher", omegas=base.omega,
                          lb_Gs=base.lb_G)
+        xkw = dict(x_ext=BX, W=W) if BX else {}
         kernel = make_temporal_halo_step(
             ny=ny, nx=nx, H=H, omega=1.0,  # scalar omega unused on mf paths
             num_fields=F, u_lb=float(base.lb_vx), v_lb=float(base.lb_vy),
-            dtype=base.dtype, interpret=interpret, k_steps=K, **mf_kw)
+            dtype=base.dtype, interpret=interpret, k_steps=K,
+            **mf_kw, **xkw)
         CH = kernel.chunk
         Pp = q * F
 
-        f_spec = P(None, "y", None)
+        f_spec = P(None, "y", "x") if BX else P(None, "y", None)
         self._sharding = NamedSharding(self.mesh, f_spec)
         if self.noisy:
             f0, key = base.state
@@ -430,6 +444,15 @@ class ShardedMultifield:
             self.state = jax.device_put(
                 base.state.reshape(Pp, ny, nx), self._sharding)
 
+        def x_extend(arr):
+            """[P, rows, W] -> [P, rows, W + 256] with x-neighbor strips
+            (cut AFTER the y exchange -> diagonal corners in two hops)."""
+            left = arr[:, :, W - 128:]
+            right = arr[:, :, :128]
+            left = _ring_shift(left, "x", +1)
+            right = _ring_shift(right, "x", -1)
+            return jnp.concatenate([left, arr, right], axis=2)
+
         def local_step(f_loc, *seed):
             top = f_loc[:, H - CH:, :]
             bot = f_loc[:, :CH, :]
@@ -437,12 +460,19 @@ class ShardedMultifield:
                 top = _ring_shift(top, "y", +1)
                 bot = _ring_shift(bot, "y", -1)
             y0 = (jax.lax.axis_index("y") * H).astype(jnp.int32)
+            args = [f_loc, top, bot, y0.reshape(1, 1)]
+            if BX:
+                x0 = (jax.lax.axis_index("x") * W).astype(jnp.int32)
+                args = [x_extend(f_loc), x_extend(top), x_extend(bot),
+                        y0.reshape(1, 1), x0.reshape(1, 1)]
             if self.noisy:
                 s = seed[0] ^ (jax.lax.axis_index("y").astype(jnp.int32)
                                * np.int32(-1640531535))
-                return kernel(f_loc, top, bot, y0.reshape(1, 1),
-                              s.reshape(1, 1))
-            return kernel(f_loc, top, bot, y0.reshape(1, 1))
+                if BX:
+                    s = s ^ (jax.lax.axis_index("x").astype(jnp.int32)
+                             * np.int32(40503))
+                args.append(s.reshape(1, 1))
+            return kernel(*args)
 
         xla_step = base._make_xla_step() if fisher else None
         if self.noisy:
@@ -461,26 +491,51 @@ class ShardedMultifield:
             rep3 = NamedSharding(self.mesh, P(None, None, None))
             rep4 = NamedSharding(self.mesh, P(None, None, None, None))
 
-            def local_patched(f_loc, band):
+            def local_patched(f_loc, band, *xband):
                 """Kernel sweep + in-shard wall splice. ``band`` is the
                 replicated, already-K-stepped 2B-row wall band; each shard
                 overwrites the global rows [0, K) / [ny-K, ny) it owns
                 with local masked writes (GSPMD scatters onto the y-sharded
-                array miscompile, so the splice stays inside shard_map)."""
+                array miscompile, so the splice stays inside shard_map).
+                On 2-D meshes ``xband`` is the 2B-LANE x-wall band (full
+                height): the torus-wrapped x strips at the global x edges
+                contaminate lanes within K of the x walls the same way the
+                y wrap contaminates rows — both bands are exact in their
+                splice regions (each is full-size along the other axis, so
+                they agree on the corners)."""
                 out_loc = local_step(f_loc)
                 H_loc = out_loc.shape[1]
                 y0 = jax.lax.axis_index("y") * H_loc
                 rowid = (jax.lax.iota(jnp.int32, H_loc) + y0)[None, :, None]
-                lo = jnp.pad(band[:, :K, :],
-                             ((0, 0), (0, H_loc - K), (0, 0)))
-                hi = jnp.pad(band[:, 2 * B - K:, :],
-                             ((0, 0), (H_loc - K, 0), (0, 0)))
+                W_loc = out_loc.shape[2]
+                if BX:
+                    xb = xband[0]
+                    x0 = jax.lax.axis_index("x") * W_loc
+                    laneid = (jax.lax.iota(jnp.int32, W_loc)
+                              + x0)[None, None, :]
+                    yslice = jax.lax.dynamic_slice_in_dim(xb, y0, H_loc, 1)
+                    lo_x = jnp.pad(yslice[:, :, :K],
+                                   ((0, 0), (0, 0), (0, W_loc - K)))
+                    hi_x = jnp.pad(yslice[:, :, 2 * B - K:],
+                                   ((0, 0), (0, 0), (W_loc - K, 0)))
+                    out_loc = jnp.where(laneid < K, lo_x, out_loc)
+                    out_loc = jnp.where(laneid >= nx - K, hi_x, out_loc)
+                lo = band[:, :K, :]
+                hi = band[:, 2 * B - K:, :]
+                if BX:
+                    lo = jax.lax.dynamic_slice_in_dim(lo, x0, W_loc, 2)
+                    hi = jax.lax.dynamic_slice_in_dim(hi, x0, W_loc, 2)
+                lo = jnp.pad(lo, ((0, 0), (0, H_loc - K), (0, 0)))
+                hi = jnp.pad(hi, ((0, 0), (H_loc - K, 0), (0, 0)))
                 out_loc = jnp.where(rowid < K, lo, out_loc)
                 out_loc = jnp.where(rowid >= ny - K, hi, out_loc)
                 return out_loc
 
+            band_specs = (f_spec, P(None, None, None))
+            if BX:
+                band_specs += (P(None, None, None),)
             smp = jax.shard_map(local_patched, mesh=self.mesh,
-                                in_specs=(f_spec, P(None, None, None)),
+                                in_specs=band_specs,
                                 out_specs=f_spec, check_vma=False)
 
             def stepK(f):
@@ -498,7 +553,20 @@ class ShardedMultifield:
                         xla_step(band), rep4)
                 band = jax.lax.with_sharding_constraint(
                     band.reshape(Pp, 2 * B, nx), rep3)
-                return smp(f, band)
+                if not BX:
+                    return smp(f, band)
+                # x-wall band: full height, first/last B lanes; same
+                # replication argument (2B lanes x ny rows is tiny)
+                xband = jnp.concatenate(
+                    [f[:, :, :B], f[:, :, nx - B:]],
+                    axis=2).reshape(q, F, ny, 2 * B)
+                xband = jax.lax.with_sharding_constraint(xband, rep4)
+                for _ in range(K):
+                    xband = jax.lax.with_sharding_constraint(
+                        xla_step(xband), rep4)
+                xband = jax.lax.with_sharding_constraint(
+                    xband.reshape(Pp, ny, 2 * B), rep3)
+                return smp(f, band, xband)
 
         self._run_main = jax.jit(
             lambda s, n: jax.lax.fori_loop(0, n, lambda i, t: stepK(t), s),

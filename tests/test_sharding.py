@@ -562,3 +562,46 @@ def test_distributed_two_process_parity(has8):
     prof = np.asarray(jnp.sum(sim.state, axis=(0, 2)))
     np.testing.assert_allclose(outs[0]["mass"], mass, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(outs[0]["prof"]), prof, rtol=1e-5)
+
+
+def test_sharded_multifield_fisher_2d_mesh_parity():
+    """FisherExpansion on a 2-D mesh: x-neighbor lane strips + the x-wall
+    lane-band splice mirror the y machinery; parity vs the unsharded XLA
+    step on a virtual 2x2 mesh (VERDICT r3 #6)."""
+    import jax
+    from lb2d_tpu.models.multifield import FisherExpansion
+    from lb2d_tpu.parallel.sharded import ShardedMultifield, make_mesh
+
+    kwf = dict(Lx=2.05, Ly=2.05, mu_standard=1.0, mu_list=[1.0, 0.8],
+               D_standard=1.0, D_list=[1.0, 1.0], N=254,
+               initial_frac_widths=[0.5, 0.5], initial_frac_indices=[0, 1])
+    ref = FisherExpansion(**kwf)
+    assert (ref.ny, ref.nx) == (256, 256)
+    step = ref._make_xla_step()
+    fref = ref.state
+    for _ in range(5):
+        fref = step(fref)
+    sh = ShardedMultifield(FisherExpansion(**kwf),
+                           mesh=make_mesh(4, shape=(2, 2)))
+    assert sh.steps_per_call > 1
+    sh.run(5)
+    np.testing.assert_allclose(np.asarray(sh._state4()), np.asarray(fref),
+                               atol=1e-6, rtol=1e-5)
+
+
+def test_sharded_multifield_expansion_2d_runs():
+    """Stochastic Expansion on a 2-D mesh: finite, non-negative, nutrient
+    consumed (noise realization differs per shard by design)."""
+    from lb2d_tpu.models.multifield import Expansion
+    from lb2d_tpu.parallel.sharded import ShardedMultifield, make_mesh
+
+    ex = Expansion(Lx=2.05, Ly=2.05, mu_standard=1.0, mu_list=[1.0, 0.8],
+                   D_standard=1.0, D_list=[1.0, 1.0], N=254)
+    sh = ShardedMultifield(ex, mesh=make_mesh(4, shape=(2, 2)))
+    f0, _ = sh._state4()
+    nut0 = float(np.asarray(f0.sum(axis=0)[-1]).sum())
+    sh.run(sh.steps_per_call * 2 + 1)
+    f, _ = sh._state4()
+    rho = np.asarray(f.sum(axis=0))
+    assert np.isfinite(rho).all() and rho.min() >= 0.0
+    assert rho[-1].sum() < nut0  # nutrient consumed by growth
