@@ -169,32 +169,14 @@ def make_axis0_dft(n: int, W: int, *, real_input: bool = False,
     g1 = _pack_g(n1, n2)
     g2 = _pack_g(n2, n1)
     B1, B2 = n2 // g1, n1 // g2
-    # Twiddle fold: the twiddle W_n^{+-bc} multiplies T1[b, c, w] BEFORE
-    # the b-contraction, and stage 1's batch dim IS b — so it folds into
-    # per-batch stage-1 constants F1tw[b][c, a] = tw[b, c] * F1[c, a] at
-    # zero matmul cost, eliminating the elementwise twiddle stage (and its
-    # two VMEM-wide intermediates) entirely.
-    twz = twc + 1j * tws                                   # [b, c]
-    F1z = (F1c + 1j * F1s)[None, :, :] * twz[:, :, None]   # [b, c, a]
-    F1twc = np.ascontiguousarray(F1z.real, np.float32)
-    F1tws = np.ascontiguousarray(F1z.imag, np.float32)
-
-    def pack_b(M):
-        """[n2, c, a] per-b constants -> [B1, g1*n1, g1*n1] block-diag."""
-        out = np.zeros((B1, g1 * n1, g1 * n1), np.float32)
-        for bs in range(g1):
-            out[:, bs * n1:(bs + 1) * n1, bs * n1:(bs + 1) * n1] = \
-                M[bs::g1] if g1 == 1 else M.reshape(B1, g1, n1, n1)[:, bs]
-        return out
-
     pack = lambda g, M: np.kron(np.eye(g, dtype=np.float32), M)
     if real_input:
-        s1 = (pack_b(F1twc), pack_b(F1tws))      # 2 real matmuls
+        s1 = (pack(g1, F1c), pack(g1, F1s))      # 2 real matmuls
     else:
-        s1 = tuple(pack_b(M) for M in _gauss_consts(F1twc, F1tws))
+        s1 = tuple(pack(g1, M) for M in _gauss_consts(F1c, F1s))
     s2 = tuple(pack(g2, M) for M in _gauss_consts(F2c[:D], F2s[:D]))
     n_s1 = len(s1)
-    consts = [jnp.asarray(a) for a in (*s1, *s2)]
+    consts = [jnp.asarray(a) for a in (*s1, *s2, twc, tws)]
 
     if mm == "bf16x3":
         def dg(A, B, dimension_numbers):
@@ -212,10 +194,11 @@ def make_axis0_dft(n: int, W: int, *, real_input: bool = False,
 
     def kernel(*refs):
         if real_input:
-            (xr_ref, s1a, s1b, s2a, s2b, s2c, or_ref, oi_ref) = refs
+            (xr_ref, s1a, s1b, s2a, s2b, s2c, twc_r, tws_r,
+             or_ref, oi_ref) = refs
             xi_ref = s1c = None
         else:
-            (xr_ref, xi_ref, s1a, s1b, s1c, s2a, s2b, s2c,
+            (xr_ref, xi_ref, s1a, s1b, s1c, s2a, s2b, s2c, twc_r, tws_r,
              or_ref, oi_ref) = refs
 
         def load(ref):
@@ -232,22 +215,31 @@ def make_axis0_dft(n: int, W: int, *, real_input: bool = False,
               jnp.transpose(ti_full.reshape(n1, n2, tw), (1, 0, 2)))
         bdg = lambda A, B: dg(A, B, dimension_numbers=(((2,), (1,)),
                                                        ((0,), (0,))))
-        # step 1+2 fused: twiddled inner DFT over a, batched over b
-        # (g1-packed, per-batch constants): T2[b, c, w] =
-        # tw[b, c] * sum_a F1[c, a] t[b, a, w]
+        # step 1: inner DFT over a, batched over b (g1-packed):
+        # T1[b, c, w] = sum_a F1[c, a] t[b, a, w]
+        bc1 = lambda M: jnp.broadcast_to(M[:], (B1, g1 * n1, g1 * n1))
         f1 = lambda t: t.reshape(B1, g1 * n1, tw)
         un1 = lambda t: t.reshape(n2, n1, tw)
         if ti is None:
-            t2r = un1(bdg(s1a[:], f1(tr)))
-            t2i = un1(bdg(s1b[:], f1(tr)))
+            t1r = un1(bdg(bc1(s1a), f1(tr)))
+            t1i = un1(bdg(bc1(s1b), f1(tr)))
         else:
             # Gauss 3-matmul: t1 = Fc(Tr+Ti), t2 = (Fs-Fc)Tr, t3 = (Fs+Fc)Ti
             trf, tif = f1(tr), f1(ti)
-            k1 = bdg(s1a[:], trf + tif)
-            k2 = bdg(s1b[:], trf)
-            k3 = bdg(s1c[:], tif)
-            t2r = un1(k1 - k3)
-            t2i = un1(k1 + k2)
+            k1 = bdg(bc1(s1a), trf + tif)
+            k2 = bdg(bc1(s1b), trf)
+            k3 = bdg(bc1(s1c), tif)
+            t1r = un1(k1 - k3)
+            t1i = un1(k1 + k2)
+        # step 2: twiddle W_n^{+-bc}. (Folding this into per-batch stage-1
+        # constants F1tw[b] = tw[b,:]*F1 was tried: it saves only ~1% wall
+        # — the pass is HBM-pipeline-bound, not VPU-bound — while baking
+        # 3x[B1,128,128] fp32 constants per kernel (~46 MB/solve) into the
+        # serialized module, which overflows remote-compile body limits.)
+        wc = twc_r[:].reshape(n2, n1, 1)
+        ws = tws_r[:].reshape(n2, n1, 1)
+        t2r = t1r * wc - t1i * ws
+        t2i = t1r * ws + t1i * wc
         # step 3: outer DFT over b, batched over c (g2-packed, Gauss):
         # X[c, d, w] = sum_b F2[d, b] T2[b, c, w]
         ur = jnp.transpose(t2r, (1, 0, 2))      # [c, b, w]
@@ -272,9 +264,9 @@ def make_axis0_dft(n: int, W: int, *, real_input: bool = False,
         in_specs = [pl.BlockSpec((tw, n), row)] * (1 if real_input else 2)
     else:
         in_specs = [pl.BlockSpec((n, tw), col)] * (1 if real_input else 2)
-    full3 = lambda i: (0, 0, 0)
-    in_specs += [pl.BlockSpec((B1, g1 * n1, g1 * n1), full3)] * n_s1
+    in_specs += [pl.BlockSpec((g1 * n1, g1 * n1), full)] * n_s1
     in_specs += [pl.BlockSpec((g2 * D, g2 * n2), full)] * 3
+    in_specs += [pl.BlockSpec((n2, n1), full)] * 2
     from jax.experimental.pallas import tpu as pltpu
 
     call = pl.pallas_call(
