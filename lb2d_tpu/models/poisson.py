@@ -214,20 +214,34 @@ class PoissonSolver:
         }
 
 
-def _poisson_run(c, f, rho, u, v, scaled_sources, it0, it_max):
+def _make_poisson_iter(c):
+    """One LBM-Poisson iteration as ``(f, react) -> (f, rho)``; ``react``
+    is the fully scaled per-cell source already multiplied by both
+    ``D_lb * dt`` stages (the reference's double scaling, see module
+    docstring). Shared by the converge-to-tolerance loop and the
+    fixed-budget tracking mode of ``RepellingFisherWave``."""
     lattice = c["lattice"]
     w_arr = jnp.asarray(np.asarray(c["w"], np.float32))[:, None, None]
     omega = jnp.float32(c["omega"])
-    # second source scaling stage (D2Q9_poisson.cl:83): * delta_t * D
-    react = scaled_sources * jnp.float32(c["delta_t"]) * jnp.float32(c["lb_D"])
 
-    def lbm_iter(f):
+    def lbm_iter(f, react):
         f = stream(f, lattice)
         f = _poisson_bcs(f, jnp.float32(c["rho_b"]), c["w"])
         new_rho = rho_poisson(f, lattice)
         feq = feq_poisson(new_rho, lattice)
         f = f * (1.0 - omega) + omega * feq + w_arr * react
         return f, new_rho
+
+    return lbm_iter
+
+
+def _poisson_run(c, f, rho, u, v, scaled_sources, it0, it_max):
+    # second source scaling stage (D2Q9_poisson.cl:83): * delta_t * D
+    react = scaled_sources * jnp.float32(c["delta_t"]) * jnp.float32(c["lb_D"])
+    base_iter = _make_poisson_iter(c)
+
+    def lbm_iter(f):
+        return base_iter(f, react)
 
     n_cells = rho.shape[0] * rho.shape[1]
     check_every = int(c.get("check_every", 1))

@@ -491,7 +491,7 @@ class RepellingFisherWave(LBModel):
     def __init__(self, Lx=1.0, Ly=1.0, vc=1.0, E=1.0, R0=5.0,
                  time_prefactor=1.0, N=50, max_inner_iter=200,
                  inner_tolerance=1e-5, seed=0, dtype=jnp.float32,
-                 reuse_tolerance=0.0):
+                 reuse_tolerance=0.0, inner_per_step=None):
         from .poisson import PoissonSolver  # shared tile math
 
         self.D, self.G = 1.0 / 4.0, 1.0
@@ -510,6 +510,23 @@ class RepellingFisherWave(LBModel):
         # (repelling_fisher_waves_old.py:380-392). 0 = exact (re-solve
         # every outer step).
         self.reuse_tolerance = float(reuse_tolerance)
+        # inner_per_step = k > 0 switches to TRACKING mode: the potential
+        # is converged ONCE at init (to inner_tolerance, warm-startable),
+        # then every outer step runs exactly k inner Poisson iterations —
+        # no while_loop, no convergence reductions, gradient refreshed
+        # every step. The potential relaxes toward the instantaneous
+        # source much faster than the wave moves (the source drifts
+        # O(u_lb) cells/step), so a small fixed budget keeps it converged;
+        # the drift vs the exact nested solve is bounded by
+        # test_repelling_fisher_tracking_mode. Mutually exclusive with
+        # reuse_tolerance.
+        self.inner_per_step = None if inner_per_step is None else int(
+            inner_per_step)
+        if self.inner_per_step is not None:
+            assert self.inner_per_step >= 1
+            assert reuse_tolerance == 0.0, (
+                "inner_per_step (tracking) and reuse_tolerance (gated) are "
+                "mutually exclusive amortization modes")
 
         self.delta_x = 1.0 / N
         self.delta_t = time_prefactor * self.delta_x**2
@@ -537,13 +554,31 @@ class RepellingFisherWave(LBModel):
         # rescale-compounding bug (repelling_fisher_waves_old.py:384-391
         # multiplies the solver's aliased buffer by E*dt/dx each call).
         zero = jnp.zeros((self.ny, self.nx), dtype)
+        if self.inner_per_step is not None:
+            # tracking mode: converge the potential for the initial density
+            # once (the always-warm start), so the per-step fixed budget
+            # only has to follow the wave, never to build the potential
+            # from scratch
+            self.poisson.run(max_inner_iter)
+            # gradient computed unconditionally (run() only refreshes it on
+            # convergence, and the pass-through u/v can alias one buffer,
+            # which breaks donation of the state tuple)
+            from .poisson import negative_gradient as _neg_grad
+            pf0 = self.poisson.f
+            pu0, pv0 = _neg_grad(self.poisson.rho, self.delta_x)
+        else:
+            # distinct zero buffers: the state tuple is donated leaf-wise,
+            # so no two leaves may alias one buffer
+            pf0 = self.poisson.f
+            pu0 = jnp.zeros((self.ny, self.nx), dtype)
+            pv0 = jnp.zeros((self.ny, self.nx), dtype)
         # 5th member: density at the last inner solve (drives the
         # reuse-tolerance test; carried even at tolerance 0 so the state
         # structure is uniform)
         self.state = (feq_linear(rho0, zero, zero, self.lattice),
-                      self.poisson.f,
-                      jnp.zeros((self.ny, self.nx), dtype),
-                      jnp.zeros((self.ny, self.nx), dtype),
+                      pf0,
+                      jnp.asarray(pu0, dtype),
+                      jnp.asarray(pv0, dtype),
                       jnp.full((self.ny, self.nx), -1.0, dtype))
         super().__init__()
 
@@ -553,7 +588,8 @@ class RepellingFisherWave(LBModel):
 
     def make_step(self):
         from ..ops.moments import rho_poisson
-        from .poisson import _poisson_run
+        from .poisson import _make_poisson_iter, _poisson_run, \
+            negative_gradient
 
         lat = self.lattice
         omega = jnp.asarray(self.omega, self.dtype)
@@ -566,6 +602,34 @@ class RepellingFisherWave(LBModel):
 
         reuse_tol = jnp.asarray(self.reuse_tolerance, self.dtype)
         use_reuse = self.reuse_tolerance > 0.0
+
+        if self.inner_per_step is not None:
+            # TRACKING mode: k fixed inner iterations per outer step, no
+            # while_loop / convergence reductions / cond — the whole outer
+            # step is straight-line code XLA can fuse and pipeline. The
+            # second source-scaling stage matches _poisson_run (the
+            # reference's double scaling, DIVERGENCES #8).
+            piter = _make_poisson_iter(consts)
+            react_scale = source_scale * jnp.float32(
+                consts["delta_t"]) * jnp.float32(consts["lb_D"])
+            k_inner = self.inner_per_step
+            dx = jnp.float32(consts["delta_x"])
+
+            def step(state):
+                f, pf, pu, pv, rho_ref = state
+                f = stream(f, lat)
+                rho = density(f)
+                react = rho * react_scale
+                for _ in range(k_inner):  # small static budget: unroll
+                    pf, prho = piter(pf, react)
+                pu, pv = negative_gradient(prho, dx)
+                u, v = scale * pu, scale * pv
+                feq = feq_linear(rho, u, v, lat)
+                growth = G * rho * (1.0 - rho)
+                f = bgk(f, feq, omega) + w * growth
+                return (f, pf, pu, pv, rho)
+
+            return step
 
         def solve(rho, pf, pu, pv):
             # nested Poisson solve with source rho, warm-started from the

@@ -235,6 +235,32 @@ def test_repelling_fisher_reuse_tolerance():
                                   np.asarray(pu_after_1.state[2]))
 
 
+def test_repelling_fisher_tracking_mode():
+    """Tracking mode (inner_per_step=k): the potential is converged once
+    at init, then follows the wave with k fixed inner iterations per outer
+    step. Drift vs the exact (converge-every-step) nested solve stays
+    bounded over the horizon, and a larger budget tracks tighter."""
+    kw = dict(Lx=1.0, Ly=1.0, E=2.0, R0=0.25, N=24, max_inner_iter=200,
+              inner_tolerance=1e-5)
+    exact = RepellingFisherWave(**kw)
+    track1 = RepellingFisherWave(inner_per_step=1, **kw)
+    track4 = RepellingFisherWave(inner_per_step=4, **kw)
+    exact.run(40)
+    track1.run(40)
+    track4.run(40)
+    re_ = exact.get_fields()["rho"]
+    sc = np.abs(re_).max()
+    d1 = np.abs(re_ - track1.get_fields()["rho"]).max() / sc
+    d4 = np.abs(re_ - track4.get_fields()["rho"]).max() / sc
+    assert d1 < 5e-3, d1
+    assert d4 < 2e-3, d4
+    assert d4 <= d1 + 1e-7, (d1, d4)
+    # modes are mutually exclusive
+    import pytest
+    with pytest.raises(AssertionError):
+        RepellingFisherWave(inner_per_step=1, reuse_tolerance=1e-4, **kw)
+
+
 def test_screened_fisher_stale_velocity():
     """Sweep-stale mode (stale_velocity=K): one spectral solve per K-step
     kernel sweep. Parity vs an explicit frozen-velocity oracle, and the
