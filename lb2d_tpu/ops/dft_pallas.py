@@ -131,7 +131,8 @@ def _gauss_consts(Fc: np.ndarray, Fs: np.ndarray):
 def make_axis0_dft(n: int, W: int, *, real_input: bool = False,
                    inverse: bool = False, out_rows: int | None = None,
                    tw: int = 256, interpret: bool = False,
-                   row_input: bool = False, mm: str = "highest"):
+                   row_input: bool = False, mm: str = "highest",
+                   screen: tuple | None = None):
     """Build a 1-D DFT along axis 0 of ``[n, W]`` as one Pallas kernel.
 
     Returns ``fn(xr[, xi]) -> (yr, yi)`` with ``yr/yi`` of shape
@@ -150,6 +151,19 @@ def make_axis0_dft(n: int, W: int, *, real_input: bool = False,
     (``A_hi B_hi + A_hi B_lo + A_lo B_hi``, f32 accumulation) — half the
     MXU passes, ~2-4x the rounding error (Mosaic has no ``Precision.HIGH``
     lowering, so the split is done by hand).
+
+    ``screen = (ny, lam2)``: fuse the screened-gradient multiplier +
+    Hermitian mirror + A+iB pack stage (``screened_gradients_pl`` step 3)
+    into this (inverse, complex) pass as an in-VMEM prologue. The inputs
+    become the HALF-spectrum planes ``X[r,i]`` of shape ``[n, hp]``
+    (``hp = _hpad(ny, ...)``); ``W`` must equal ``ny``. Each output lane
+    tile reads its direct tile plus the two input tiles holding the
+    Hermitian-mirrored lanes (BlockSpec index maps), the screening
+    multipliers are rebuilt from iota (the standard ``fftfreq*n`` grids
+    with Nyquist-zeroed gradients — no multiplier arrays cross HBM), and
+    the kx mirror is a sublane flip. Kills the separate XLA mult stage
+    (measured 5.1 ms of a 28 ms 8192^2 solve) and the packed-spectrum HBM
+    round trip.
     """
     fac = _factor(n)
     assert fac is not None, f"no 4-step factorization for n={n}"
@@ -192,27 +206,16 @@ def make_axis0_dft(n: int, W: int, *, real_input: bool = False,
         dg = partial(jax.lax.dot_general,
                      preferred_element_type=jnp.float32, precision=_PREC)
 
-    def kernel(*refs):
-        if real_input:
-            (xr_ref, s1a, s1b, s2a, s2b, s2c, twc_r, tws_r,
-             or_ref, oi_ref) = refs
-            xi_ref = s1c = None
-        else:
-            (xr_ref, xi_ref, s1a, s1b, s1c, s2a, s2b, s2c, twc_r, tws_r,
-             or_ref, oi_ref) = refs
-
-        def load(ref):
-            if ref is None:
-                return None
-            if row_input:   # [tw, n] tile -> [n, tw] in VMEM
-                return jnp.transpose(ref[:], (1, 0))
-            return ref[:]
-
+    def tile_body(xr_t, xi_t, s1a, s1b, s1c, s2a, s2b, s2c, twc_r, tws_r,
+                  or_ref, oi_ref, post=None):
+        """The in-VMEM 4-step on one loaded [n, tw] tile pair; writes the
+        [R, tw] k-order outputs (through ``post(yr, yi)`` if given).
+        Shared by the plain pass kernel and the fused screen/mirror
+        inverse kernel (``screen=``)."""
         # [n, TW] -> [a, b, w] (free: leading-dim split) -> [b, a, w]
-        tr = jnp.transpose(load(xr_ref).reshape(n1, n2, tw), (1, 0, 2))
-        ti_full = load(xi_ref)
-        ti = (None if ti_full is None else
-              jnp.transpose(ti_full.reshape(n1, n2, tw), (1, 0, 2)))
+        tr = jnp.transpose(xr_t.reshape(n1, n2, tw), (1, 0, 2))
+        ti = (None if xi_t is None else
+              jnp.transpose(xi_t.reshape(n1, n2, tw), (1, 0, 2)))
         bdg = lambda A, B: dg(A, B, dimension_numbers=(((2,), (1,)),
                                                        ((0,), (0,))))
         # step 1: inner DFT over a, batched over b (g1-packed):
@@ -253,14 +256,127 @@ def make_axis0_dft(n: int, W: int, *, real_input: bool = False,
         xr_ = (m1 - m3).reshape(n1, D, tw)       # [c, d, w]
         xi_ = (m1 + m2).reshape(n1, D, tw)
         # k = c + n1*d -> rows [d, c, w] flatten to k-order
-        or_ref[:] = jnp.transpose(xr_, (1, 0, 2)).reshape(R, tw)
-        oi_ref[:] = jnp.transpose(xi_, (1, 0, 2)).reshape(R, tw)
+        yr = jnp.transpose(xr_, (1, 0, 2)).reshape(R, tw)
+        yi = jnp.transpose(xi_, (1, 0, 2)).reshape(R, tw)
+        if post is not None:
+            yr, yi = post(yr, yi)
+        or_ref[:] = yr
+        oi_ref[:] = yi
+
+    if screen is not None:
+        assert inverse and not real_input and not row_input
+        s_ny, s_lam2 = screen
+        s_ny, s_lam2 = int(s_ny), float(s_lam2)
+        assert W == s_ny, (W, s_ny)
+        s_hy = s_ny // 2 + 1
+        s_hp = _hpad(s_ny, _factor(s_ny)[0])
+        while s_hp % tw:            # mirror maps need tw | hp (and tw | W,
+            tw //= 2                # ensured above); both are 128-multiples
+        assert tw >= 128, (s_hp, W, tw)
+        Tin = s_hp // tw
+        Tmir = s_ny // tw           # mirror base: lane m = (Tmir - j)*tw - l
+
+    def _screen_prologue(j, xrd, xid, xra, xia, xrb, xib):
+        """(Zr, Zi, head) for output lane tile j from the direct and
+        mirrored half-spectrum tiles — screened-gradient multipliers +
+        Hermitian lane mirror + A+iB pack, all in VMEM/MXU. Mosaic has no
+        ``rev`` lowering, so the two mirrors are realized without flips:
+
+        * lane mirror: two exact permutation matmuls (0/1 matrices from
+          iota; exact through the split-bf16 paths since 1.0 is exact and
+          the hi+lo splits recover f32);
+        * row mirror (kx -> -kx): not performed at all — instead the tail
+          lanes carry conj(Q) and the caller negates their imaginary
+          output, using inv(mirror_rows(Q)) = conj(inv(conj(Q))).
+        """
+        two_pi = np.float32(2.0 * np.pi)
+        lam2f = np.float32(s_lam2)
+        half_n = n // 2
+        r = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+        kx2 = jnp.square(jnp.minimum(r, n - r).astype(jnp.float32))
+        gxv = jnp.where(r < half_n, r, jnp.where(r == half_n, 0, r - n)
+                        ).astype(jnp.float32)
+        l = jax.lax.broadcasted_iota(jnp.int32, (1, tw), 1)
+        ky = j * tw + l
+        head = ky < s_hy
+        # direct (head) lanes: ky <= ny/2; gy Nyquist-zeroed
+        ky_f = ky.astype(jnp.float32)
+        gy_d = jnp.where(ky == s_ny // 2, 0.0, ky_f)
+        s_d = 1.0 / (lam2f * (kx2 + ky_f * ky_f) + 1.0)
+        ax_d = two_pi * gxv * s_d
+        ay_d = two_pi * gy_d * s_d
+        pr = -(ax_d * xid + ay_d * xrd)
+        pi = ax_d * xrd - ay_d * xid
+        # mirrored (tail) lanes: m = ny - ky = (Tmir - j)*tw - l; lane 0
+        # comes from mirror tile A (lane 0), lanes 1.. from the lane
+        # reversal of mirror tile B (lanes tw-1 .. 1). E0/S are 0/1
+        # permutation matrices built from iota.
+        ri = jax.lax.broadcasted_iota(jnp.int32, (tw, tw), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (tw, tw), 1)
+        E0 = ((ri == 0) & (ci == 0)).astype(jnp.float32)
+        S = (ri + ci == tw).astype(jnp.float32)   # col l>=1 <- row tw-l
+        mdims = (((1,), (0,)), ((), ()))
+
+        def mir(a, b):
+            return dg(a, E0, dimension_numbers=mdims) + dg(
+                b, S, dimension_numbers=mdims)
+        xrm, xim = mir(xra, xrb), mir(xia, xib)
+        m = (Tmir - j) * tw - l
+        m_f = m.astype(jnp.float32)         # m in [1, hy-2]: no Nyquist
+        s_m = 1.0 / (lam2f * (kx2 + m_f * m_f) + 1.0)
+        ax_m = two_pi * gxv * s_m
+        ay_m = two_pi * m_f * s_m
+        qr = ay_m * xrm - ax_m * xim
+        qi = -(ax_m * xrm + ay_m * xim)
+        # tail lanes: conj(Q); the imaginary OUTPUT is negated in post
+        return (jnp.where(head, pr, qr),
+                jnp.where(head, pi, -qi),
+                head)
+
+    def kernel(*refs):
+        if screen is not None:
+            (xrd, xid, xra, xia, xrb, xib,
+             s1a, s1b, s1c, s2a, s2b, s2c, twc_r, tws_r,
+             or_ref, oi_ref) = refs
+            j = pl.program_id(0)
+            zr, zi, head = _screen_prologue(j, xrd[:], xid[:], xra[:],
+                                            xia[:], xrb[:], xib[:])
+            post = lambda yr, yi: (yr, jnp.where(head, yi, -yi))
+            tile_body(zr, zi, s1a, s1b, s1c,
+                      s2a, s2b, s2c, twc_r, tws_r, or_ref, oi_ref,
+                      post=post)
+            return
+        if real_input:
+            (xr_ref, s1a, s1b, s2a, s2b, s2c, twc_r, tws_r,
+             or_ref, oi_ref) = refs
+            xi_ref = s1c = None
+        else:
+            (xr_ref, xi_ref, s1a, s1b, s1c, s2a, s2b, s2c, twc_r, tws_r,
+             or_ref, oi_ref) = refs
+
+        def load(ref):
+            if ref is None:
+                return None
+            if row_input:   # [tw, n] tile -> [n, tw] in VMEM
+                return jnp.transpose(ref[:], (1, 0))
+            return ref[:]
+
+        tile_body(load(xr_ref), load(xi_ref), s1a, s1b, s1c,
+                  s2a, s2b, s2c, twc_r, tws_r, or_ref, oi_ref)
 
     grid = (W // tw,)
     col = lambda i: (0, i)
     row = lambda i: (i, 0)
     full = lambda i: (0, 0)
-    if row_input:
+    if screen is not None:
+        # direct tile + the two tiles holding the mirrored lanes (clamped
+        # in range; out-of-role lanes are masked in the prologue)
+        direct = lambda i: (0, jnp.minimum(i, Tin - 1))
+        mir_a = lambda i: (0, jnp.clip(Tmir - i, 0, Tin - 1))
+        mir_b = lambda i: (0, jnp.clip(Tmir - i - 1, 0, Tin - 1))
+        in_specs = [pl.BlockSpec((n, tw), m)
+                    for m in (direct, direct, mir_a, mir_a, mir_b, mir_b)]
+    elif row_input:
         in_specs = [pl.BlockSpec((tw, n), row)] * (1 if real_input else 2)
     else:
         in_specs = [pl.BlockSpec((n, tw), col)] * (1 if real_input else 2)
@@ -286,6 +402,8 @@ def make_axis0_dft(n: int, W: int, *, real_input: bool = False,
         ),
     )
 
+    if screen is not None:
+        return lambda xr, xi: tuple(call(xr, xi, xr, xi, xr, xi, *consts))
     if real_input:
         return lambda xr: tuple(call(xr, *consts))
     return lambda xr, xi: tuple(call(xr, xi, *consts))
@@ -309,11 +427,21 @@ def _hpad(ny: int, n1: int) -> int:
 
 
 def screened_gradients_pl(rho, fx, fy, gx, gy, lam2, interpret: bool = False,
-                          mm: str = "highest"):
+                          mm: str = "highest", fused: bool = True):
     """Drop-in Pallas replacement for
     :func:`lb2d_tpu.ops.dft.screened_gradients_mm` (same signature and
     semantics: screened-Poisson spectral gradients of a REAL field,
-    Nyquist-zeroed multipliers, packed A+iB inverse)."""
+    Nyquist-zeroed multipliers, packed A+iB inverse).
+
+    ``fused=True`` (default) runs the multiplier/mirror/pack stage inside
+    the inverse-x Pallas kernel (``make_axis0_dft(screen=...)``) — the
+    multipliers are rebuilt in-kernel from the STANDARD spectral grids
+    (``f* = fftfreq(n)*n``, ``g*`` the same with the Nyquist bin zeroed),
+    which is exactly what every caller passes; the ``fx/fy/gx/gy``
+    arguments are ignored on this path (parity vs the array-driven
+    ``screened_gradients_mm`` is pinned by test_dft_pallas). ``lam2`` must
+    be a concrete (non-traced) scalar here — it is baked into the kernel.
+    """
     ny, nx = rho.shape
     assert supports_pallas_solve(ny, nx), (ny, nx)
     hy = ny // 2 + 1
@@ -331,6 +459,17 @@ def screened_gradients_pl(rho, fx, fy, gx, gy, lam2, interpret: bool = False,
     fwd_x = make_axis0_dft(nx, hp, real_input=False, interpret=interpret,
                            row_input=True, mm=mm)
     Xr, Xi = fwd_x(Zr, Zi)                       # [kx, ky_h]
+
+    if fused:
+        # 3+4 fused: screening multipliers + Hermitian mirror + A+iB pack
+        # as the inverse-x kernel's VMEM prologue
+        inv_x = make_axis0_dft(nx, ny, real_input=False, inverse=True,
+                               interpret=interpret, mm=mm,
+                               screen=(ny, float(lam2)))
+        Wr, Wi = inv_x(Xr, Xi)
+        inv_y = make_axis0_dft(ny, nx, real_input=False, inverse=True,
+                               interpret=interpret, row_input=True, mm=mm)
+        return inv_y(Wr, Wi)
     # 3. screening + gradient multipliers + Hermitian mirror + A+iB pack,
     #    in the transposed layout (kx rows, ky lanes). Head lanes
     #    ky = 0..ny/2 hold P = A + iB; tail lanes ky' > ny/2 hold

@@ -62,9 +62,11 @@ def test_axis0_dft_half_spectrum_rows():
                                atol=1e-6 * scale)
 
 
+@pytest.mark.parametrize("fused", [True, False])
 @pytest.mark.parametrize("ny,nx", [(256, 256), (256, 384), (512, 256)])
-def test_screened_gradients_pl_matches_mm(ny, nx):
-    """The Pallas solve is a drop-in for screened_gradients_mm."""
+def test_screened_gradients_pl_matches_mm(ny, nx, fused):
+    """The Pallas solve is a drop-in for screened_gradients_mm — on both
+    the fused (in-kernel multiplier/mirror/pack) and staged paths."""
     assert supports_pallas_solve(ny, nx)
     rs = np.random.RandomState(1)
     rho = jnp.asarray(rs.rand(ny, nx).astype(np.float32))
@@ -74,7 +76,8 @@ def test_screened_gradients_pl_matches_mm(ny, nx):
     gyv = np.asarray(fy).copy(); gyv[ny // 2] = 0.0
     lam2 = np.float32(25.0)
     a = screened_gradients_pl(rho, fx, fy, jnp.asarray(gxv),
-                              jnp.asarray(gyv), lam2, interpret=True)
+                              jnp.asarray(gyv), lam2, interpret=True,
+                              fused=fused)
     b = screened_gradients_mm(rho, fx, fy, jnp.asarray(gxv),
                               jnp.asarray(gyv), lam2)
     sc = float(jnp.max(jnp.abs(b[0])))
