@@ -908,13 +908,25 @@ class ShardedPipeFlow:
             step1 = xla_step
 
         if backend == "temporal":
-            stepK, _, K = make_sharded_temporal_step(
-                mesh=self.mesh, ny=self.ny, nx=self.nx, omega=self.omega,
-                inlet_rho=self.inlet_rho, outlet_rho=self.outlet_rho,
-                equilibrium=base.equilibrium, dtype=base.dtype,
-                k_steps=k_steps, interpret=interpret)
-            self.steps_per_call = K
-            main_step = stepK
+            if self.mesh.size == 1:
+                # 1x1 mesh: bypass shard_map entirely and run the
+                # unsharded temporal kernel — the wrapper costs ~10% at
+                # 8192^2 (13,475 unsharded vs 12,163 wrapped, RESULTS
+                # round 4), exactly as SimulationRunner.shard_over
+                # already does for the mc engine. The single-device
+                # NamedSharding state is bit-compatible with the plain
+                # kernel; halo machinery is dead weight at one shard.
+                main_step = base._make_temporal_step(k_steps=k_steps)
+                self.steps_per_call = base.steps_per_call
+            else:
+                stepK, _, K = make_sharded_temporal_step(
+                    mesh=self.mesh, ny=self.ny, nx=self.nx,
+                    omega=self.omega, inlet_rho=self.inlet_rho,
+                    outlet_rho=self.outlet_rho,
+                    equilibrium=base.equilibrium, dtype=base.dtype,
+                    k_steps=k_steps, interpret=interpret)
+                self.steps_per_call = K
+                main_step = stepK
         else:
             main_step = step1
 
