@@ -275,6 +275,16 @@ def make_axis0_dft(n: int, W: int, *, real_input: bool = False,
         assert tw >= 128, (s_hp, W, tw)
         Tin = s_hp // tw
         Tmir = s_ny // tw           # mirror base: lane m = (Tmir - j)*tw - l
+        # Input-stream dedup (round 5): output tile j uses the direct tile
+        # only on head lanes (ky <= ny/2, i.e. j <= Tmir/2) and the mirror
+        # tiles only on tail lanes (j >= Tmir/2) — the roles only coexist
+        # in the straddle tile j = Tmir/2, where direct == mir_a == j.
+        # When Tmir is even, one slot (min(j, Tmir-j)) therefore serves
+        # both roles and the kernel fetches 4 streams instead of 6 —
+        # cutting the pass's input HBM traffic from 3x to 2x the logical
+        # half-spectrum (~0.9 ms at 8192^2). Odd Tmir (ny not a multiple
+        # of 2*tw) keeps the 3-slot form.
+        s_dedup = (Tmir % 2 == 0)
 
     def _screen_prologue(j, xrd, xid, xra, xia, xrb, xib):
         """(Zr, Zi, head) for output lane tile j from the direct and
@@ -335,9 +345,15 @@ def make_axis0_dft(n: int, W: int, *, real_input: bool = False,
 
     def kernel(*refs):
         if screen is not None:
-            (xrd, xid, xra, xia, xrb, xib,
-             s1a, s1b, s1c, s2a, s2b, s2c, twc_r, tws_r,
-             or_ref, oi_ref) = refs
+            if s_dedup:
+                (xra, xia, xrb, xib,
+                 s1a, s1b, s1c, s2a, s2b, s2c, twc_r, tws_r,
+                 or_ref, oi_ref) = refs
+                xrd, xid = xra, xia   # slot A carries the direct role too
+            else:
+                (xrd, xid, xra, xia, xrb, xib,
+                 s1a, s1b, s1c, s2a, s2b, s2c, twc_r, tws_r,
+                 or_ref, oi_ref) = refs
             j = pl.program_id(0)
             zr, zi, head = _screen_prologue(j, xrd[:], xid[:], xra[:],
                                             xia[:], xrb[:], xib[:])
@@ -371,11 +387,16 @@ def make_axis0_dft(n: int, W: int, *, real_input: bool = False,
     if screen is not None:
         # direct tile + the two tiles holding the mirrored lanes (clamped
         # in range; out-of-role lanes are masked in the prologue)
-        direct = lambda i: (0, jnp.minimum(i, Tin - 1))
-        mir_a = lambda i: (0, jnp.clip(Tmir - i, 0, Tin - 1))
         mir_b = lambda i: (0, jnp.clip(Tmir - i - 1, 0, Tin - 1))
-        in_specs = [pl.BlockSpec((n, tw), m)
-                    for m in (direct, direct, mir_a, mir_a, mir_b, mir_b)]
+        if s_dedup:
+            slot_a = lambda i: (0, jnp.minimum(jnp.minimum(i, Tmir - i),
+                                               Tin - 1))
+            maps = (slot_a, slot_a, mir_b, mir_b)
+        else:
+            direct = lambda i: (0, jnp.minimum(i, Tin - 1))
+            mir_a = lambda i: (0, jnp.clip(Tmir - i, 0, Tin - 1))
+            maps = (direct, direct, mir_a, mir_a, mir_b, mir_b)
+        in_specs = [pl.BlockSpec((n, tw), m) for m in maps]
     elif row_input:
         in_specs = [pl.BlockSpec((tw, n), row)] * (1 if real_input else 2)
     else:
@@ -403,6 +424,8 @@ def make_axis0_dft(n: int, W: int, *, real_input: bool = False,
     )
 
     if screen is not None:
+        if s_dedup:
+            return lambda xr, xi: tuple(call(xr, xi, xr, xi, *consts))
         return lambda xr, xi: tuple(call(xr, xi, xr, xi, xr, xi, *consts))
     if real_input:
         return lambda xr: tuple(call(xr, *consts))
@@ -437,10 +460,13 @@ def screened_gradients_pl(rho, fx, fy, gx, gy, lam2, interpret: bool = False,
     the inverse-x Pallas kernel (``make_axis0_dft(screen=...)``) — the
     multipliers are rebuilt in-kernel from the STANDARD spectral grids
     (``f* = fftfreq(n)*n``, ``g*`` the same with the Nyquist bin zeroed),
-    which is exactly what every caller passes; the ``fx/fy/gx/gy``
-    arguments are ignored on this path (parity vs the array-driven
-    ``screened_gradients_mm`` is pinned by test_dft_pallas). ``lam2`` must
-    be a concrete (non-traced) scalar here — it is baked into the kernel.
+    which is exactly what every caller passes. The (concrete,
+    trace-time) ``fx/fy/gx/gy`` arguments are checked against those
+    standard grids and any mismatch falls back to the array-driven
+    ``fused=False`` path, so non-standard multipliers stay correct
+    (parity vs ``screened_gradients_mm`` is pinned by test_dft_pallas).
+    ``lam2`` must be a concrete (non-traced) scalar here — it is baked
+    into the kernel.
     """
     ny, nx = rho.shape
     assert supports_pallas_solve(ny, nx), (ny, nx)
@@ -460,6 +486,23 @@ def screened_gradients_pl(rho, fx, fy, gx, gy, lam2, interpret: bool = False,
                            row_input=True, mm=mm)
     Xr, Xi = fwd_x(Zr, Zi)                       # [kx, ky_h]
 
+    if fused:
+        # The fused kernel rebuilds the multipliers in-kernel from the
+        # STANDARD spectral grids; verify the caller's (concrete) grids
+        # actually are those, and quietly take the array-driven path if
+        # not (advisor r4, low: silent wrong gradients otherwise).
+        def _std(n):
+            fr = np.fft.fftfreq(n) * n
+            gr = fr.copy()
+            gr[n // 2] = 0.0
+            return fr, gr
+        sfx, sgx = _std(nx)
+        sfy, sgy = _std(ny)
+        std = (np.allclose(np.asarray(fx), sfx)
+               and np.allclose(np.asarray(gx), sgx)
+               and np.allclose(np.asarray(fy), sfy)
+               and np.allclose(np.asarray(gy), sgy))
+        fused = bool(std)
     if fused:
         # 3+4 fused: screening multipliers + Hermitian mirror + A+iB pack
         # as the inverse-x kernel's VMEM prologue

@@ -19,7 +19,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.lattice import Lattice, D2Q9
-from ..ops.fused import _moments_feq_collide, _zou_he_tile
+from ..ops.fused import _moments_feq_collide, _zou_he_tile, supports_temporal
 from ..ops.fused_halo import make_temporal_halo_step, supports_temporal_halo
 from .halo import _ring_shift, extend_with_halo
 
@@ -908,15 +908,27 @@ class ShardedPipeFlow:
             step1 = xla_step
 
         if backend == "temporal":
+            # 1x1 mesh: bypass shard_map entirely and run the
+            # unsharded temporal kernel — the wrapper costs ~10% at
+            # 8192^2 (13,475 unsharded vs 12,163 wrapped, RESULTS
+            # round 4), exactly as SimulationRunner.shard_over
+            # already does for the mc engine. The single-device
+            # NamedSharding state is bit-compatible with the plain
+            # kernel; halo machinery is dead weight at one shard.
+            # Only taken when the UNSHARDED kernel supports the grid:
+            # supports_temporal is stricter than the halo predicate
+            # that gated can_temporal (advisor r4, high), and an
+            # explicit k_steps is clamped to the deepest ring that
+            # fits the unsharded VMEM budget (advisor r4, medium).
+            bypass_k = None
             if self.mesh.size == 1:
-                # 1x1 mesh: bypass shard_map entirely and run the
-                # unsharded temporal kernel — the wrapper costs ~10% at
-                # 8192^2 (13,475 unsharded vs 12,163 wrapped, RESULTS
-                # round 4), exactly as SimulationRunner.shard_over
-                # already does for the mc engine. The single-device
-                # NamedSharding state is bit-compatible with the plain
-                # kernel; halo machinery is dead weight at one shard.
-                main_step = base._make_temporal_step(k_steps=k_steps)
+                cand = [k for k in (8, 6, 4, 2)
+                        if k_steps is None or k <= k_steps]
+                bypass_k = next((k for k in cand
+                                 if supports_temporal(self.ny, self.nx, k)),
+                                None)
+            if bypass_k is not None:
+                main_step = base._make_temporal_step(k_steps=bypass_k)
                 self.steps_per_call = base.steps_per_call
             else:
                 stepK, _, K = make_sharded_temporal_step(

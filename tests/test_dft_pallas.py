@@ -87,6 +87,28 @@ def test_screened_gradients_pl_matches_mm(ny, nx, fused):
                                atol=1e-4 * sc)
 
 
+def test_screened_gradients_pl_nonstandard_grids_fall_back():
+    """fused=True rebuilds STANDARD fftfreq*n multiplier grids in-kernel;
+    a caller passing non-standard grids must get the array-driven result,
+    not silently-wrong gradients (advisor r4, low): the fused path
+    auto-falls-back when the concrete grids mismatch."""
+    ny = nx = 256
+    rs = np.random.RandomState(3)
+    rho = jnp.asarray(rs.rand(ny, nx).astype(np.float32))
+    # non-standard: scaled frequency grids (e.g. a non-unit box length)
+    fx = jnp.asarray((np.fft.fftfreq(nx) * nx * 2.0).astype(np.float32))
+    gxv = np.asarray(fx).copy(); gxv[nx // 2] = 0.0
+    gx = jnp.asarray(gxv)
+    lam2 = np.float32(25.0)
+    a = screened_gradients_pl(rho, fx, fx, gx, gx, lam2, interpret=True,
+                              fused=True)
+    b = screened_gradients_mm(rho, fx, fx, gx, gx, lam2)
+    sc = float(jnp.max(jnp.abs(b[0])))
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=1e-4 * sc)
+
+
 def test_screened_force_bf16x3_close_to_highest():
     """The opt-in bf16x3 matmul mode (3 MXU passes instead of HIGHEST's
     fp32 emulation) stays within ~1e-3 relative of the highest-precision

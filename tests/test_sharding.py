@@ -125,6 +125,39 @@ class TestTemporalSharded:
             np.asarray(jax.device_get(sh.state)), np.asarray(single.state),
             rtol=1e-6, atol=1e-7)
 
+    def test_one_device_mesh_halo_only_grid(self, has8):
+        """1x1 mesh on a grid only the HALO kernel tiles (64x128: the
+        unsharded temporal kernel supports no K) must fall back to the
+        shard_map halo step instead of raising (advisor r4, high)."""
+        mesh = make_mesh(1, shape=(1, 1))
+        kw = dict(N=63, pipe_length=1.5 * 127 / 63, **PARAMS)
+        single = PipeFlow(backend="xla", **kw)
+        assert (single.ny, single.nx) == (64, 128)
+        for backend in ("temporal", "auto"):
+            sh = ShardedPipeFlow(mesh=mesh, backend=backend, **kw)
+            assert sh.backend == "temporal"
+            sh.run(7)
+        single.run(7)
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(sh.state)), np.asarray(single.state),
+            rtol=1e-6, atol=1e-7)
+
+    def test_one_device_mesh_clamps_explicit_k(self, has8):
+        """1x1-mesh bypass clamps an oversized explicit k_steps to the
+        deepest ring the UNSHARDED kernel supports (advisor r4, medium):
+        128x128 supports K in (4, 2) only, so k_steps=8 -> 4."""
+        mesh = make_mesh(1, shape=(1, 1))
+        kw = dict(N=127, pipe_length=1.5, **PARAMS)
+        single = PipeFlow(backend="xla", **kw)
+        assert (single.ny, single.nx) == (128, 128)
+        sh = ShardedPipeFlow(mesh=mesh, backend="temporal", k_steps=8, **kw)
+        assert sh.steps_per_call == 4
+        single.run(9)
+        sh.run(9)
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(sh.state)), np.asarray(single.state),
+            rtol=1e-6, atol=1e-7)
+
     def test_remainder_steps(self, has8):
         """Iteration counts not divisible by K run the XLA remainder."""
         mesh = make_mesh(8, shape=(8, 1))
