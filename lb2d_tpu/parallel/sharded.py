@@ -273,11 +273,22 @@ class ShardedDiffusion:
 
         f_spec = P(None, "y", "x" if mx > 1 else None)
         self._sharding = NamedSharding(self.mesh, f_spec)
+
+        # Shard-wise state placement that also works when ``mesh`` spans
+        # multiple PROCESSES (jax.distributed): every process constructed
+        # the same seeded ``base.state`` locally, so each can serve its
+        # own addressable shards from a host copy — ``device_put`` to a
+        # non-addressable sharding would reject the committed array.
+        def _put(arr):
+            host = np.asarray(jax.device_get(arr))
+            return jax.make_array_from_callback(
+                host.shape, self._sharding, lambda idx: host[idx])
+
         if self.noisy:
             f0, key = base.state
-            self.state = (jax.device_put(f0, self._sharding), key)
+            self.state = (_put(f0), key)
         else:
-            self.state = jax.device_put(base.state, self._sharding)
+            self.state = _put(base.state)
 
         def _x_extend(arr):
             left = arr[:, :, W - 128:]

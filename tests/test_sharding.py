@@ -597,6 +597,54 @@ def test_distributed_two_process_parity(has8):
     np.testing.assert_allclose(np.asarray(outs[0]["prof"]), prof, rtol=1e-5)
 
 
+def test_distributed_two_process_kernel_parity(has8):
+    """The per-shard PALLAS KERNEL families across a real process boundary
+    (VERDICT r4 #3): two CPU processes run ShardedDiffusion over the
+    8-device global mesh — ppermute halo chunks feed the K-step temporal
+    halo kernel across processes — and match the single-process run."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys as _sys
+
+    import jax.numpy as jnp
+
+    child = os.path.join(os.path.dirname(__file__), "_dist_child_diffusion.py")
+    s = socket.socket()
+    s.bind(("", 0))
+    port = s.getsockname()[1]
+    s.close()
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [subprocess.Popen(
+        [_sys.executable, child, str(i), str(port), "6"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, (out[-1000:], err[-2000:])
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT ")][-1]
+        outs.append(json.loads(line[len("RESULT "):]))
+    assert [o["nproc"] for o in outs] == [2, 2]
+    assert all(o["K"] > 1 for o in outs)      # kernel path, not XLA
+    np.testing.assert_array_equal(outs[0]["prof"], outs[1]["prof"])
+    assert outs[0]["mass"] == outs[1]["mass"]
+    # parity vs the single-process run on this test process's 8 devices
+    # (same mesh shape, same K, same ppermute ring -> same numerics)
+    from lb2d_tpu.models.diffusion import ReactionAdvectionDiffusion
+    from lb2d_tpu.parallel.distributed import global_mesh
+    from lb2d_tpu.parallel.sharded import ShardedDiffusion
+    base = ReactionAdvectionDiffusion(N=254, z=0.1, D=0.005, vx=1.0, vy=0.5,
+                                      vc=1.0, Lx=0.101, Ly=0.101, g=1.0)
+    sim = ShardedDiffusion(base, mesh=global_mesh(shape=(8, 1)))
+    sim.run(6)
+    mass = float(jnp.sum(sim.state))
+    prof = np.asarray(jnp.sum(sim.state, axis=(0, 2)))
+    np.testing.assert_allclose(outs[0]["mass"], mass, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(outs[0]["prof"]), prof, rtol=1e-5)
+
+
 def test_sharded_multifield_fisher_2d_mesh_parity():
     """FisherExpansion on a 2-D mesh: x-neighbor lane strips + the x-wall
     lane-band splice mirror the y machinery; parity vs the unsharded XLA
