@@ -710,6 +710,15 @@ class SimulationRunner:
             of HBM traffic, and the dense layout shipped 2 all-zero
             planes on top)."""
             if ext_map is not None:
+                if len(dyn) == 1 and hasattr(dyn[0][2], "ext_planes"):
+                    # single screened-Poisson hook: the -amp scale and
+                    # the plane stack are fused into the solve's final
+                    # kernel write (waves._ScreenedVelocity.ext_planes)
+                    # — no separate XLA multiply+stack pass
+                    src, tgt, vel, amp = dyn[0]
+                    return vel.ext_planes(
+                        grad_rho(src).astype(jnp.float32),
+                        -amp).astype(dt)
                 planes = []
                 for (src, tgt, vel, amp) in dyn:
                     gx, gy = vel(grad_rho(src).astype(jnp.float32))

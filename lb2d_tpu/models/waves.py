@@ -258,6 +258,30 @@ class _ScreenedVelocity:
         ay = (2.0 * np.pi) * self._gy[:, None]
         return rescale, ax, ay
 
+    def ext_planes(self, rho, amp):
+        """``stack(amp*ux, amp*uy) [2, ny, nx]`` where ``(ux, uy)`` is
+        what ``__call__`` returns — the mc engine's external-force
+        hand-off. On the Pallas path the scale and the stack are fused
+        into the inverse-y kernel's output write (``out_scale``), killing
+        the separate XLA multiply+stack pass (~1.8 ms of the 8192^2
+        config-5 step); other paths stack the scaled gradients the
+        ordinary way (same values)."""
+        ny = self._fy.shape[0]
+        nx = self._fx.shape[0]
+        a = float(amp) * float(self.scale)
+        if self.method != "fft" and ny % 2 == 0:
+            from ..ops.dft_pallas import (
+                screened_gradients_pl, supports_pallas_solve)
+            if (self.allow_pallas and self._pallas_ok
+                    and jax.default_backend() == "tpu"
+                    and supports_pallas_solve(ny, nx)):
+                return screened_gradients_pl(
+                    rho, self._fx, self._fy, self._gx, self._gy,
+                    self._lam2, mm=self.mm, out_scale=a)
+        ux, uy = self(rho)
+        return jnp.stack(((amp * ux).astype(jnp.float32),
+                          (amp * uy).astype(jnp.float32)))
+
     def __call__(self, rho):
         # Both gradient spectra are Hermitian (real rho x odd-real
         # multiplier), so ONE complex inverse transform carries both:
@@ -518,8 +542,20 @@ class RepellingFisherWave(LBModel):
         # source much faster than the wave moves (the source drifts
         # O(u_lb) cells/step), so a small fixed budget keeps it converged;
         # the drift vs the exact nested solve is bounded by
-        # test_repelling_fisher_tracking_mode. Mutually exclusive with
-        # reuse_tolerance.
+        # test_repelling_fisher_tracking_mode (1.4e-6 relative over 300
+        # steps at N=128, ~6x the exact mode's throughput). Mutually
+        # exclusive with reuse_tolerance.
+        #
+        # Tracking is deliberately NOT the default (round-5 decision):
+        # the exact mode's correctness is grid-size-independent
+        # (reference semantics: re-solve to tolerance every step,
+        # repelling_fisher_waves_old.py:380-392), while tracking's
+        # quasi-static lag grows with resolution — the diffusive inner
+        # iteration contracts the lowest mode at O(1/N^2) per sweep but
+        # the per-step source motion only shrinks as O(1/N), so the lag
+        # scales ~O(N / k) and the N=128 drift bound does not transfer
+        # to production grids. Opt in with inner_per_step >= 1 where the
+        # bound has been validated for your (N, k), or raise k with N.
         self.inner_per_step = None if inner_per_step is None else int(
             inner_per_step)
         if self.inner_per_step is not None:

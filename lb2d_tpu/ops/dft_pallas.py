@@ -132,7 +132,8 @@ def make_axis0_dft(n: int, W: int, *, real_input: bool = False,
                    inverse: bool = False, out_rows: int | None = None,
                    tw: int = 256, interpret: bool = False,
                    row_input: bool = False, mm: str = "highest",
-                   screen: tuple | None = None):
+                   screen: tuple | None = None,
+                   stack_scale: float | None = None):
     """Build a 1-D DFT along axis 0 of ``[n, W]`` as one Pallas kernel.
 
     Returns ``fn(xr[, xi]) -> (yr, yi)`` with ``yr/yi`` of shape
@@ -164,6 +165,14 @@ def make_axis0_dft(n: int, W: int, *, real_input: bool = False,
     the kx mirror is a sublane flip. Kills the separate XLA mult stage
     (measured 5.1 ms of a 28 ms 8192^2 solve) and the packed-spectrum HBM
     round trip.
+
+    ``stack_scale = s``: instead of two ``[R, W]`` outputs, the kernel
+    writes ONE ``[2, R, W]`` array ``(s*yr, s*yi)`` — the scale and the
+    stack happen at the kernel's output write. This is the final solve
+    pass's hand-off shape for the mc engine's external-force planes
+    (``ext[2, ny, nx] = amplitude * (xg, yg)``), killing the separate XLA
+    multiply+stack pass (~2 full-plane HBM round trips, ~1.8 ms of the
+    8192^2 config-5 step). Complex non-screen passes only.
     """
     fac = _factor(n)
     assert fac is not None, f"no 4-step factorization for n={n}"
@@ -260,8 +269,13 @@ def make_axis0_dft(n: int, W: int, *, real_input: bool = False,
         yi = jnp.transpose(xi_, (1, 0, 2)).reshape(R, tw)
         if post is not None:
             yr, yi = post(yr, yi)
-        or_ref[:] = yr
-        oi_ref[:] = yi
+        if oi_ref is None:           # stacked scaled output [2, R, tw]
+            s = np.float32(stack_scale)
+            or_ref[0] = yr * s
+            or_ref[1] = yi * s
+        else:
+            or_ref[:] = yr
+            oi_ref[:] = yi
 
     if screen is not None:
         assert inverse and not real_input and not row_input
@@ -283,8 +297,11 @@ def make_axis0_dft(n: int, W: int, *, real_input: bool = False,
         # both roles and the kernel fetches 4 streams instead of 6 —
         # cutting the pass's input HBM traffic from 3x to 2x the logical
         # half-spectrum (~0.9 ms at 8192^2). Odd Tmir (ny not a multiple
-        # of 2*tw) keeps the 3-slot form.
-        s_dedup = (Tmir % 2 == 0)
+        # of 2*tw) keeps the 3-slot form. LB2D_DFT_NO_DEDUP=1 forces the
+        # 3-slot form everywhere (same-session A/B measurement control).
+        import os as _os
+        s_dedup = (Tmir % 2 == 0
+                   and not _os.environ.get("LB2D_DFT_NO_DEDUP"))
 
     def _screen_prologue(j, xrd, xid, xra, xia, xrb, xib):
         """(Zr, Zi, head) for output lane tile j from the direct and
@@ -366,6 +383,10 @@ def make_axis0_dft(n: int, W: int, *, real_input: bool = False,
             (xr_ref, s1a, s1b, s2a, s2b, s2c, twc_r, tws_r,
              or_ref, oi_ref) = refs
             xi_ref = s1c = None
+        elif stack_scale is not None:
+            (xr_ref, xi_ref, s1a, s1b, s1c, s2a, s2b, s2c, twc_r, tws_r,
+             or_ref) = refs
+            oi_ref = None
         else:
             (xr_ref, xi_ref, s1a, s1b, s1c, s2a, s2b, s2c, twc_r, tws_r,
              or_ref, oi_ref) = refs
@@ -406,12 +427,19 @@ def make_axis0_dft(n: int, W: int, *, real_input: bool = False,
     in_specs += [pl.BlockSpec((n2, n1), full)] * 2
     from jax.experimental.pallas import tpu as pltpu
 
+    if stack_scale is not None:
+        assert not real_input and screen is None
+        out_specs = [pl.BlockSpec((2, R, tw), lambda i: (0, 0, i))]
+        out_shape = [jax.ShapeDtypeStruct((2, R, W), jnp.float32)]
+    else:
+        out_specs = [pl.BlockSpec((R, tw), col)] * 2
+        out_shape = [jax.ShapeDtypeStruct((R, W), jnp.float32)] * 2
     call = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=[pl.BlockSpec((R, tw), col)] * 2,
-        out_shape=[jax.ShapeDtypeStruct((R, W), jnp.float32)] * 2,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
@@ -429,6 +457,8 @@ def make_axis0_dft(n: int, W: int, *, real_input: bool = False,
         return lambda xr, xi: tuple(call(xr, xi, xr, xi, xr, xi, *consts))
     if real_input:
         return lambda xr: tuple(call(xr, *consts))
+    if stack_scale is not None:
+        return lambda xr, xi: call(xr, xi, *consts)[0]
     return lambda xr, xi: tuple(call(xr, xi, *consts))
 
 
@@ -450,7 +480,8 @@ def _hpad(ny: int, n1: int) -> int:
 
 
 def screened_gradients_pl(rho, fx, fy, gx, gy, lam2, interpret: bool = False,
-                          mm: str = "highest", fused: bool = True):
+                          mm: str = "highest", fused: bool = True,
+                          out_scale: float | None = None):
     """Drop-in Pallas replacement for
     :func:`lb2d_tpu.ops.dft.screened_gradients_mm` (same signature and
     semantics: screened-Poisson spectral gradients of a REAL field,
@@ -467,6 +498,11 @@ def screened_gradients_pl(rho, fx, fy, gx, gy, lam2, interpret: bool = False,
     (parity vs ``screened_gradients_mm`` is pinned by test_dft_pallas).
     ``lam2`` must be a concrete (non-traced) scalar here — it is baked
     into the kernel.
+
+    ``out_scale = s``: return ONE stacked array ``[2, ny, nx] =
+    (s*xg, s*yg)`` with the scale and stack fused into the inverse-y
+    kernel's output write (``stack_scale``) — the mc engine's
+    external-force hand-off, killing its XLA multiply+stack pass.
     """
     ny, nx = rho.shape
     assert supports_pallas_solve(ny, nx), (ny, nx)
@@ -511,7 +547,8 @@ def screened_gradients_pl(rho, fx, fy, gx, gy, lam2, interpret: bool = False,
                                screen=(ny, float(lam2)))
         Wr, Wi = inv_x(Xr, Xi)
         inv_y = make_axis0_dft(ny, nx, real_input=False, inverse=True,
-                               interpret=interpret, row_input=True, mm=mm)
+                               interpret=interpret, row_input=True, mm=mm,
+                               stack_scale=out_scale)
         return inv_y(Wr, Wi)
     # 3. screening + gradient multipliers + Hermitian mirror + A+iB pack,
     #    in the transposed layout (kx rows, ky lanes). Head lanes
@@ -545,6 +582,9 @@ def screened_gradients_pl(rho, fx, fy, gx, gy, lam2, interpret: bool = False,
     Wr, Wi = inv_x(Pr, Pi)
     # 5. inverse along y (transpose fused as in step 2) -> xg + i yg [y, x]
     inv_y = make_axis0_dft(ny, nx, real_input=False, inverse=True,
-                           interpret=interpret, row_input=True, mm=mm)
+                           interpret=interpret, row_input=True, mm=mm,
+                           stack_scale=out_scale)
+    if out_scale is not None:
+        return inv_y(Wr, Wi)
     Gr, Gi = inv_y(Wr, Wi)
     return Gr, Gi

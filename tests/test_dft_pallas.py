@@ -87,6 +87,34 @@ def test_screened_gradients_pl_matches_mm(ny, nx, fused):
                                atol=1e-4 * sc)
 
 
+@pytest.mark.parametrize("fused", [True, False])
+def test_screened_gradients_pl_out_scale_stacked(fused):
+    """out_scale=s returns one [2, ny, nx] array (s*xg, s*yg) with the
+    scale and stack fused into the inverse-y kernel's output write — the
+    mc engine's external-force hand-off. Values must equal the two-output
+    solve scaled outside the kernel (same matmuls; one extra f32 multiply
+    at the write)."""
+    ny, nx = 256, 384
+    rs = np.random.RandomState(5)
+    rho = jnp.asarray(rs.rand(ny, nx).astype(np.float32))
+    fx = jnp.asarray((np.fft.fftfreq(nx) * nx).astype(np.float32))
+    fy = jnp.asarray((np.fft.fftfreq(ny) * ny).astype(np.float32))
+    gxv = np.asarray(fx).copy(); gxv[nx // 2] = 0.0
+    gyv = np.asarray(fy).copy(); gyv[ny // 2] = 0.0
+    gx, gy = jnp.asarray(gxv), jnp.asarray(gyv)
+    lam2 = np.float32(25.0)
+    s = -3.0e-4
+    ext = screened_gradients_pl(rho, fx, fy, gx, gy, lam2, interpret=True,
+                                fused=fused, out_scale=s)
+    assert ext.shape == (2, ny, nx)
+    xg, yg = screened_gradients_pl(rho, fx, fy, gx, gy, lam2,
+                                   interpret=True, fused=fused)
+    np.testing.assert_allclose(np.asarray(ext[0]),
+                               np.float32(s) * np.asarray(xg), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ext[1]),
+                               np.float32(s) * np.asarray(yg), rtol=1e-6)
+
+
 def test_screened_gradients_pl_nonstandard_grids_fall_back():
     """fused=True rebuilds STANDARD fftfreq*n multiplier grids in-kernel;
     a caller passing non-standard grids must get the array-driven result,
