@@ -26,6 +26,14 @@ except Exception:
 
 BASELINE_MLUPS = 325.0
 
+# Nominal calibration ranges for a healthy, uncontended v5e session
+# (samples: r4 298.3 GB/s / 87.4 TF; r5 fresh-session 232.6 / 73.9 —
+# see benchmarks/RESULTS.md "Calibration baseline"). The midpoints below
+# anchor the >10% deviation annotation; a "calib_note" in the JSON means
+# the session's device was slow/contended and the headline should be read
+# against same-session controls, not across rounds.
+NOMINAL_CALIB = {"copy_gbps": 298.0, "mxu_tflops": 87.0}
+
 
 def _calibrate():
     """Environment-context probes (VERDICT r3 #9): a copy-bound and an
@@ -124,6 +132,13 @@ def main():
 
     rates.sort()
     mlups = rates[len(rates) // 2]
+    calib = _calibrate() if on_tpu else {"skipped": "not on tpu"}
+    devs = {k: calib[k] / NOMINAL_CALIB[k] - 1.0
+            for k in NOMINAL_CALIB if k in calib}
+    if any(abs(d) > 0.10 for d in devs.values()):
+        calib["note"] = ("device at " + ", ".join(
+            f"{k} {100 * (1 + d):.0f}% of nominal" for k, d in devs.items())
+            + " — compare against same-session controls")
     print(json.dumps({
         "metric": "MLUPS@4096^2 D2Q9 pipe flow",
         "value": round(mlups, 1),
@@ -131,7 +146,7 @@ def main():
         "vs_baseline": round(mlups / BASELINE_MLUPS, 2),
         "spread": {"min": round(rates[0], 1), "max": round(rates[-1], 1),
                    "reps": reps, "steps_per_rep": n_meas * steps_per_call},
-        "calib": _calibrate() if on_tpu else {"skipped": "not on tpu"},
+        "calib": calib,
     }))
 
 
