@@ -358,41 +358,60 @@ class Expansion(_MultifieldBase):
         Unlike :class:`FisherExpansion` this family has no walls — the
         domain is fully periodic (``stochastic_nutrients.py`` move_bcs is
         the diffusion no-op) — so the y-wrap seam band (rows within K of
-        row 0) is recomputed with K plain XLA steps, exactly like the
-        scalar diffusion/noisy-fisher kernels. The kernel's normals come
-        from the on-core TPU PRNG; the band patch uses ``jax.random``
-        (see DIVERGENCES.md #19 for the stitched-realization caveat).
+        row 0) is recomputed and patched in. Round 5 moved the patch from
+        K serialized XLA steps (launch-overhead bound, ~25% of the step)
+        to a single-launch VMEM-resident Pallas band kernel
+        (:func:`~lb2d_tpu.ops.fused.make_expansion_band_step`). Both the
+        main kernel and the band draw their normals from the on-core TPU
+        PRNG on distinct streams (see DIVERGENCES.md #19 for the
+        stitched-realization caveat).
         """
-        from ..ops.fused import make_temporal_multifield_step
+        from ..ops.fused import (make_expansion_band_step,
+                                 make_temporal_multifield_step)
 
         kw = {} if interpret is None else {"interpret": interpret}
+        omegas = (list(np.asarray(self.omega).ravel())
+                  + [float(self.omega_nutrient)])
         kernel = make_temporal_multifield_step(
             ny=self.ny, nx=self.nx, num_fields=self.num_fields,
-            omegas=list(np.asarray(self.omega).ravel())
-            + [float(self.omega_nutrient)],
+            omegas=omegas,
             lb_G=self.lb_G, lb_Dg=self.lb_Dg, cutoff=self.zero_cutoff,
             u_lb=float(self.lb_vx), v_lb=float(self.lb_vy),
             physics="expansion", k_steps=K, dtype=self.dtype, **kw)
         xla_step = self._make_xla_stochastic_step()
         noisy = bool(np.any(np.asarray(self.lb_Dg)))
-        B = 3 * K
-        band_idx = jnp.asarray(np.arange(-B, B) % self.ny)
-        patch_rows = jnp.asarray(np.arange(-K, K) % self.ny)
+        # band half-width: >= 2K for exactness (the band kernel's wrap
+        # garbage travels one row per step), >= 3K historical margin,
+        # multiple of 4 so the band is sublane-aligned (2B % 8 == 0)
+        B = -(-max(3 * K, 2 * K) // 4) * 4
+        band_kernel = make_expansion_band_step(
+            band_rows=2 * B, nx=self.nx, num_fields=self.num_fields,
+            omegas=omegas, lb_G=self.lb_G, lb_Dg=self.lb_Dg,
+            cutoff=self.zero_cutoff,
+            u_lb=float(self.lb_vx), v_lb=float(self.lb_vy),
+            k_steps=K, dtype=self.dtype, **kw)
+
+        ny = self.ny
 
         def stepK(state):
             f, key = state
             key, ks, kb = jax.random.split(key, 3)
+            # band rows [-B, B): two static slices, not a gather
+            band_in = jnp.concatenate(
+                [f[:, :, ny - B:, :], f[:, :, :B, :]], axis=2)
             if noisy:
                 seed = jax.lax.bitcast_convert_type(
                     jax.random.bits(ks, (1, 1), jnp.uint32), jnp.int32)
                 out = kernel(f, seed)
+                bseed = jax.lax.bitcast_convert_type(
+                    jax.random.bits(kb, (), jnp.uint32), jnp.int32)
+                band = band_kernel(band_in, bseed)
             else:
                 out = kernel(f)
-            bstate = (f[:, :, band_idx, :], kb)
-            for _ in range(K):
-                bstate = xla_step(bstate)
-            out = out.at[:, :, patch_rows, :].set(
-                bstate[0][:, :, B - K:B + K, :])
+                band = band_kernel(band_in)
+            # band emits rows [-K, K): first K -> tail rows, last K -> head
+            out = out.at[:, :, ny - K:, :].set(band[:, :, :K, :])
+            out = out.at[:, :, :K, :].set(band[:, :, K:, :])
             return (out, key)
 
         self.steps_per_call = K

@@ -1394,8 +1394,12 @@ def _mf_expansion_tile(st, omegas, lb_G, lb_Dg, cutoff, u_lb, v_lb,
         r = st[0][p]
         for j in range(1, q):
             r = r + st[j][p]
-        # clipped hydro (D2Q9_multifield_diffusion.cl:62-75)
-        rhos.append(jnp.where((r < cutoff) | jnp.isnan(r), 0.0, r))
+        # clipped hydro (D2Q9_multifield_diffusion.cl:62-75). The >=
+        # form is bit-identical to `where((r < cutoff) | isnan(r), 0, r)`
+        # — NaN compares false against everything, so it lands in the
+        # zero branch either way — but is 2 VPU ops cheaper per field,
+        # and this kernel is VPU-op-bound (benchmarks/profile_expansion).
+        rhos.append(jnp.where(r >= cutoff, r, 0.0))
     c_nut = rhos[Pp]
 
     reacts = []
@@ -1413,19 +1417,25 @@ def _mf_expansion_tile(st, omegas, lb_G, lb_Dg, cutoff, u_lb, v_lb,
         react_n = react_n - reacts[p]
 
     out = [[None] * F for _ in range(q)]
+    # Collide, reassociated for the VPU (this kernel is VPU-op-bound —
+    # benchmarks/profile_expansion.py): hoist om*rho_p per field, share
+    # the cu==0 inner term across planes, and fold the negativity/NaN
+    # clip into one select (val >= 0 is false for NaN, so the isnan()
+    # of D2Q9_multifield_diffusion.cl:137-142 is free). ~5 VPU ops per
+    # plane vs ~10 in the direct transcription.
     for p in range(F):
         om = omegas[p]
         A = 1.0 - om
         rho_p = rhos[p]
         react = reacts[p] if p < Pp else react_n
-        badrho = rho_p < cutoff  # post-clip: catches clipped zeros
+        good_rho = rho_p >= cutoff  # post-clip: rho is 0 or >= cutoff
+        orho = om * rho_p
+        base = orho + react         # shared by every direction with cu==0
         for j in range(q):
-            cu = lattice.cx[j] * u_lb + lattice.cy[j] * v_lb
-            coef = lattice.w[j] * (1.0 + cu / cs2)
-            val = (st[j][p] * A + (om * coef) * rho_p
-                   + lattice.w[j] * react)
-            bad = badrho | (val < 0) | jnp.isnan(val)
-            out[j][p] = jnp.where(bad, 0.0, val)
+            cu = float(lattice.cx[j] * u_lb + lattice.cy[j] * v_lb)
+            inner = base if cu == 0.0 else (1.0 + cu / cs2) * orho + react
+            val = st[j][p] * A + lattice.w[j] * inner
+            out[j][p] = jnp.where(good_rho & (val >= 0), val, 0.0)
     return out
 
 
@@ -1765,3 +1775,137 @@ def make_temporal_multifield_step(
             return out.reshape(q, F, ny, nx)
 
     return stepK
+
+
+# ---------------------------------------------------------------------------
+# single-launch band kernel for the Expansion periodic seam patch
+# ---------------------------------------------------------------------------
+
+def make_expansion_band_step(
+    *,
+    band_rows: int,
+    nx: int,
+    num_fields: int,
+    omegas,
+    lb_G,
+    lb_Dg,
+    cutoff: float,
+    u_lb: float = 0.0,
+    v_lb: float = 0.0,
+    k_steps: int = 2,
+    lattice: Lattice = D2Q9,
+    dtype=jnp.float32,
+    interpret: bool = False,
+):
+    """K Expansion steps on the periodic y-wrap seam band, whole band
+    resident in VMEM, ONE kernel launch.
+
+    Replaces the K serialized XLA steps the seam patch used through
+    round 4 — those were launch-overhead bound (~0.10 ms/step at 1024²
+    K=8, benchmarks/profile_expansion.py). The band is the ``band_rows``
+    rows centred on the wrap, gathered by the caller with periodic
+    indexing; the kernel streams periodically WITHIN the band, so the
+    band's own internal seam sits ``band_rows/2 - K >= K`` rows away
+    from every emitted row and its garbage cone never reaches the
+    output. Emits the ``2*k_steps`` rows centred on the wrap.
+
+    Noise is the same Milstein scheme as the main kernel
+    (``D2Q9_multifield_diffusion.cl:118-121``), drawn from the on-core
+    PRNG with the caller's band seed — a different stream from both the
+    main kernel and the old ``jax.random`` patch (the stitched-
+    realization caveat of DIVERGENCES.md #19 is unchanged).
+    """
+    R = int(band_rows)
+    K = int(k_steps)
+    F = int(num_fields)
+    q = lattice.q
+    P = q * F
+    OUT = 2 * K
+    o0 = (R - OUT) // 2
+    assert R >= 2 * OUT, (R, K)  # garbage cone must not reach the output
+    omegas = [float(o) for o in np.asarray(omegas).ravel()]
+    lb_G = [float(g) for g in np.asarray(lb_G).ravel()]
+    lb_Dg = [float(d) for d in np.asarray(lb_Dg).ravel()]
+    noisy = any(lb_Dg)
+    w_ulb = np.asarray(u_lb, dtype)
+    w_vlb = np.asarray(v_lb, dtype)
+    noisy_ps = [p for p in range(F - 1) if lb_Dg[p]]
+
+    def kernel(*refs):
+        if noisy:
+            band_ref, seed_ref, out_ref = refs
+        else:
+            band_ref, out_ref = refs
+            seed_ref = None
+        planes = [[band_ref[j * F + p] for p in range(F)] for j in range(q)]
+        for k in range(K):
+            st = [[None] * F for _ in range(q)]
+            for j in range(q):
+                cxj, cyj = lattice.cx[j], lattice.cy[j]
+                for p in range(F):
+                    pln = planes[j][p]
+                    if cyj == 1:
+                        rows = jnp.concatenate(
+                            [pln[R - 1:R], pln[:R - 1]], axis=0)
+                    elif cyj == -1:
+                        rows = jnp.concatenate(
+                            [pln[1:R], pln[0:1]], axis=0)
+                    else:
+                        rows = pln
+                    st[j][p] = _lane_roll(rows, cxj, nx)
+
+            etas = {}
+            if noisy and not interpret:
+                pltpu.prng_seed(seed_ref[0, 0] ^ np.int32(k * 40503 + 12345))
+            for a in range(0, len(noisy_ps), 2):
+                shape = (R, nx)
+                if interpret:
+                    seed = seed_ref[0, 0] ^ np.int32(
+                        k * 40503 + a * 7919 + 12345)
+                    rows_i = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+                    cols_i = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+                    cell = rows_i * np.uint32(shape[1]) + cols_i
+                    s = jax.lax.bitcast_convert_type(seed, jnp.uint32)
+                    e1, e2 = _box_muller_pair(
+                        _hash_u32(cell ^ s),
+                        _hash_u32(cell ^ s ^ np.uint32(0x9E3779B9)))
+                else:
+                    e1, e2 = _normal_pair_from_bits(shape)
+                etas[noisy_ps[a]] = e1
+                if a + 1 < len(noisy_ps):
+                    etas[noisy_ps[a + 1]] = e2
+
+            eta_fn = lambda p, shape: etas[p]
+            planes = _mf_expansion_tile(st, omegas, lb_G, lb_Dg, cutoff,
+                                        w_ulb, w_vlb, lattice, eta_fn)
+
+        for j in range(q):
+            for p in range(F):
+                out_ref[j * F + p] = planes[j][p][o0:o0 + OUT]
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    if noisy:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((P, OUT, nx), dtype),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )
+
+    if noisy:
+        def run(band_qf, seed):
+            """band_qf: [Q, F, band_rows, nx]; seed: int32 scalar."""
+            flat = band_qf.reshape(P, R, nx)
+            out = call(flat, jnp.asarray(seed, jnp.int32).reshape(1, 1))
+            return out.reshape(q, F, OUT, nx)
+    else:
+        def run(band_qf):
+            flat = band_qf.reshape(P, R, nx)
+            return call(flat).reshape(q, F, OUT, nx)
+
+    return run
