@@ -49,6 +49,21 @@ Numerics match :func:`lb2d_tpu.ops.dft.screened_gradients_mm` to ~1e-5
 relative (same HIGHEST-precision matmuls, same packed-Hermitian inverse);
 ``mm="bf16x3"`` trades to ~3e-4 for half the MXU passes (23.1 vs 30.2 ms
 at 8192^2).
+
+Why the inverse is NOT a further-halvable "full-spectrum" pass (round-5
+analysis, cf. RESULTS.md): the A+iB pack already delivers the
+inverse-side Hermitian economy — TWO real output fields ride ONE complex
+chain, i.e. each field costs half a complex transform, exactly what a
+per-field half-spectrum (irfft-style) inverse costs. The solve sits at
+its information floor of 3 real-transform-equivalents (1 in: forward
+real_input chain; 2 out: the packed inverse chain, measured at 2x the
+forward's wall-clock). Splitting the pack to exploit per-field ky-
+Hermitianity either doubles the inv-x lane-transforms (separated fields)
+or requires an 8192-lane VMEM mirror whose permutation-matmul
+realization costs ~45% of the transform it would save (Mosaic has no
+``rev`` lowering). The remaining slack is HBM + corner turns, attacked
+by fusing stages INTO the passes (``screen=``, ``stack_scale=``) rather
+than by shrinking the MXU work.
 """
 
 from __future__ import annotations
