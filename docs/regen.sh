@@ -13,17 +13,18 @@ cd "$(dirname "$0")/.."
 #    pictures/resolution_convergence.png)
 python examples/poiseuille_verification.py docs/poiseuille_verification.png
 
-# 2. Vortex-shedding frame strip (reference: docs/cs205_movie.ipynb)
-python examples/vortex_shedding.py /tmp/vortex_frames 8
+# 2. Karman-street frame strip (reference: docs/cs205_movie.ipynb — the
+#    obstacle-flow movie workload, here at a Reynolds number that sheds)
+python examples/karman_street.py /tmp/karman_frames 80 150
 python - <<'EOF'
 import numpy as np
 import matplotlib
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 
-frames = [plt.imread(f"/tmp/vortex_frames/frame_{k:04d}.png")
-          for k in range(0, 8, 2)]
-strip = np.concatenate(frames, axis=1)
+frames = [plt.imread(f"/tmp/karman_frames/frame_{k:04d}.png")
+          for k in (73, 75, 77, 79)]
+strip = np.concatenate(frames, axis=0)   # 4 late frames, stacked
 plt.imsave("docs/vortex_shedding_strip.png", strip)
 print("wrote docs/vortex_shedding_strip.png")
 EOF

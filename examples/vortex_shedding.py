@@ -21,14 +21,25 @@ from lb2d_tpu.models import PipeFlowCylinder
 from lb2d_tpu.utils.render import FieldAnimator
 
 
-def main(outdir="vortex_frames", num_frames=20):
+def main(outdir="vortex_frames", num_frames=20, viscosity=0.25):
     os.makedirs(outdir, exist_ok=True)
     # cylinder of radius D/15 in a 3D-long pipe (vortex_sheet_movie.ipynb
-    # uses r = D/25 at N=125; smaller here for a quick demo)
+    # uses r = D/25 at N=125; smaller here for a quick demo). The default
+    # viscosity gives a creeping-flow demo (cylinder Re < 1); pass
+    # viscosity ~0.002 for a Re ~ 50-100 flow that actually sheds a
+    # Karman street (docs/regen.sh does).
     D = 1.5
     sim = PipeFlowCylinder(
-        cylinder_center=(0.75, 0.75), cylinder_radius=D / 15,
-        diameter=D, rho=10.0, viscosity=0.25, pressure_grad=-10.0,
+        # the cylinder sits slightly off the channel centerline — the
+        # standard symmetry-breaking perturbation, without which the
+        # (perfectly symmetric) discrete flow can hold an unstable
+        # symmetric wake for tens of thousands of steps
+        cylinder_center=(0.75, 0.72), cylinder_radius=D / 15,
+        # scale the pressure gradient with viscosity so the steady
+        # velocity (and the lattice Mach number) stays fixed while Re
+        # sweeps: u_max ~ |dp/dx| D^2 / (8 rho nu)
+        diameter=D, rho=10.0, viscosity=float(viscosity),
+        pressure_grad=-10.0 * (float(viscosity) / 0.25),
         pipe_length=3 * D, N=40)
     print(f"grid {sim.nx}x{sim.ny}, omega={sim.omega:.4f}, "
           f"backend={sim.backend}")
@@ -48,4 +59,5 @@ def main(outdir="vortex_frames", num_frames=20):
 if __name__ == "__main__":
     args = sys.argv[1:]
     main(*([args[0]] if args else []),
-         **({"num_frames": int(args[1])} if len(args) > 1 else {}))
+         **({"num_frames": int(args[1])} if len(args) > 1 else {}),
+         **({"viscosity": float(args[2])} if len(args) > 2 else {}))
